@@ -1,0 +1,201 @@
+"""Configuration system.
+
+Keeps the reference's knob names and derived-field semantics
+(reference: config.py:13-197) while adding TPU-native knobs (mesh shape,
+precision policy). Flat attribute-style config: the CLI mutates attributes
+after construction and then calls `update()` to recompute derived fields,
+exactly like the reference driver (pose_estimator.py:815-872).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+class Config:
+    """Base configuration. Subclass and override attributes to customise.
+
+    Derived fields (BATCH_SIZE, IMAGE_SHAPE, IMAGE_META_SIZE) are computed
+    by `update()` (reference config.py:151-166).
+    """
+
+    NAME = "ursonet"
+
+    # --- device / parallelism (TPU-native replacement of GPU_COUNT) -------
+    # Number of accelerator chips used for data parallelism. The reference's
+    # GPU_COUNT participates only in effective batch size (config.py:20,154);
+    # here it also sizes the `data` axis of the device mesh.
+    GPU_COUNT = 1          # kept name for CLI/compat; == number of chips
+    IMAGES_PER_GPU = 2     # per-chip batch size
+
+    # Device mesh: (data, model). `model` > 1 shards the (potentially huge)
+    # head Dense layers across chips (tensor parallelism). Total devices
+    # used = MESH_DATA * MESH_MODEL; GPU_COUNT is kept in sync by update().
+    MESH_DATA = 1
+    MESH_MODEL = 1
+
+    # --- training schedule --------------------------------------------------
+    STEPS_PER_EPOCH = 1000
+    VALIDATION_STEPS = 50
+    EPOCHS = 100
+
+    # --- model ---------------------------------------------------------------
+    BACKBONE = "resnet101"          # resnet18/34/50/101
+    BOTTLENECK_WIDTH = 128          # filters of the final stride-2 conv (net.py:639)
+    BRANCH_SIZE = 1024              # width of head dense layers
+    NR_DENSE_LAYERS = 1             # dense layers per head (pose_estimator.py:820)
+
+    # --- input resizing (reference config.py:49-76) --------------------------
+    IMAGE_RESIZE_MODE = "pad64"     # none | square | pad64 | crop
+    IMAGE_MIN_DIM = 480
+    IMAGE_MAX_DIM = 512
+    IMAGE_MIN_SCALE = 0
+    NR_IMAGE_CHANNELS = 3
+    MEAN_PIXEL = np.array([123.7, 116.8, 103.9])
+
+    # --- optimisation ---------------------------------------------------------
+    LEARNING_RATE = 0.001
+    LEARNING_MOMENTUM = 0.9
+    CLR = False
+    MAX_LEARNING_RATE = 0.0005
+    BASE_LEARNING_RATE = 0.0001
+    CLR_STEP_SIZE = 4000
+    OPTIMIZER = 'SGD'               # SGD | ADAM
+    WEIGHT_DECAY = 0.0001
+    GRADIENT_CLIP_NORM = 5.0
+
+    # --- heads / pose parameterisation ---------------------------------------
+    REGRESS_ORI = True
+    REGRESS_LOC = True
+    REGRESS_KEYPOINTS = False
+    ORIENTATION_PARAM = 'quaternion'  # quaternion | euler_angles | angle_axis
+    DECOUPLE_ORIENTATION = False
+    LOC_BINS_PER_DIM = 16
+    ORI_BINS_PER_DIM = 32
+    BETA = 6.0                      # soft-assignment kernel width scale
+
+    # --- augmentation ----------------------------------------------------------
+    ROT_AUG = True                  # camera-rotation homography warp
+    SIM2REAL_AUG = False            # grayscale + noise/blur/brightness/dropout
+    ROT_IMAGE_AUG = False           # in-plane roll warp
+    # 'nearest' matches the reference cv2.warpPerspective flag bit-pattern
+    # (utils.py:50 passes WARP_INVERSE_MAP alone => INTER_NEAREST);
+    # 'bilinear' is higher quality.
+    WARP_INTERPOLATION = 'nearest'
+    # Run augmentation batched on-device (TPU) instead of per-image on host.
+    AUGMENT_ON_DEVICE = True
+
+    # --- precision ---------------------------------------------------------------
+    # Reference --f16 flips Keras to float16 (net.py:589-593). On TPU the
+    # native fast dtype is bfloat16: F16 selects bf16 compute with f32
+    # params/optimizer state.
+    F16 = False
+
+    # --- losses ---------------------------------------------------------------
+    LEARNABLE_LOSS_WEIGHTS = False
+    LOSS_WEIGHTS = {
+        "loc_loss": 1.,
+        "ori_loss": 1.,
+        "k2_loss": 1.,
+        "k3_loss": 1.
+    }
+
+    # --- batch norm -------------------------------------------------------------
+    #  None: train BN layers   False: freeze (use running stats)   True: don't use
+    TRAIN_BN = False
+
+    # --- misc -------------------------------------------------------------------
+    SEED = 0
+    CHECKPOINT_FORMAT = 'msgpack'   # msgpack | orbax
+    DEBUG_NANS = False
+
+    def update(self):
+        """Recompute derived fields (reference config.py:151-166)."""
+        # Keep mesh and GPU_COUNT consistent: chips = data * model shards.
+        # Without an explicit mesh, GPU_COUNT chips all go to the data axis
+        # (reference semantics: BATCH_SIZE = IMAGES_PER_GPU * GPU_COUNT,
+        # config.py:154).
+        if self.MESH_DATA * self.MESH_MODEL > 1:
+            self.GPU_COUNT = self.MESH_DATA * self.MESH_MODEL
+        else:
+            self.MESH_DATA = self.GPU_COUNT
+            self.MESH_MODEL = 1
+        self.BATCH_SIZE = self.IMAGES_PER_GPU * self.MESH_DATA
+
+        if self.IMAGE_RESIZE_MODE == "crop":
+            self.IMAGE_SHAPE = np.array(
+                [self.IMAGE_MIN_DIM, self.IMAGE_MIN_DIM, self.NR_IMAGE_CHANNELS])
+        elif self.IMAGE_RESIZE_MODE == "pad64":
+            # Assumes wide images (reference config.py:159-161)
+            self.IMAGE_SHAPE = np.array(
+                [self.IMAGE_MIN_DIM, self.IMAGE_MAX_DIM, self.NR_IMAGE_CHANNELS])
+        else:
+            self.IMAGE_SHAPE = np.array(
+                [self.IMAGE_MAX_DIM, self.IMAGE_MAX_DIM, self.NR_IMAGE_CHANNELS])
+
+        # meta = id(1) + original_shape(3) + shape(3) + window(4) + scale(1)
+        self.IMAGE_META_SIZE = 1 + self.NR_IMAGE_CHANNELS + 3 + 4 + 1
+
+    def __init__(self):
+        self.update()
+
+    # -- introspection ------------------------------------------------------
+
+    def display(self):
+        """Print all configuration values (reference config.py:172-178)."""
+        print("\nConfigurations:")
+        for a in dir(self):
+            if not a.startswith("__") and not callable(getattr(self, a)):
+                print("{:30} {}".format(a, getattr(self, a)))
+        print("\n")
+
+    def to_dict(self):
+        d = {}
+        for a in dir(self):
+            v = getattr(self, a)
+            if a.startswith("__") or callable(v):
+                continue
+            if isinstance(v, np.ndarray):
+                continue
+            d[a] = v
+        return d
+
+    def write_to_file(self, filepath):
+        """Persist as JSON (reference config.py:180-196)."""
+        directory = os.path.dirname(filepath)
+        if directory and not os.path.isdir(directory):
+            os.makedirs(directory)
+        with open(filepath, 'w+') as f:
+            f.write(json.dumps(self.to_dict(), default=str))
+
+    @classmethod
+    def from_dict(cls, d):
+        cfg = cls()
+        for k, v in d.items():
+            setattr(cfg, k, v)
+        cfg.update()
+        return cfg
+
+    # -- derived helpers ------------------------------------------------------
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+        return jnp.bfloat16 if self.F16 else jnp.float32
+
+    def head_input_features(self) -> int:
+        """Flattened feature count after the stride-2 bottleneck conv
+        (reference net.py:640)."""
+        return int(self.BOTTLENECK_WIDTH * self.IMAGE_SHAPE[0] *
+                   self.IMAGE_SHAPE[1] / (64 ** 2))
+
+    def loc_output_size(self) -> int:
+        return 3 if self.REGRESS_LOC else self.LOC_BINS_PER_DIM ** 3
+
+    def ori_output_size(self) -> int:
+        if self.REGRESS_ORI:
+            return 4 if self.ORIENTATION_PARAM == 'quaternion' else 3
+        return self.ORI_BINS_PER_DIM ** 3
