@@ -1,0 +1,183 @@
+"""Model graph tests: output shapes for every head mode, reference layer
+naming (h5-import contract), BN-freeze semantics, dtype policy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ursonet_tpu.config import Config
+from ursonet_tpu.models import build_model
+
+
+def tiny_config(**overrides):
+    cfg = Config()
+    cfg.BACKBONE = 'resnet18'
+    cfg.IMAGE_RESIZE_MODE = 'square'
+    cfg.IMAGE_MAX_DIM = 128
+    cfg.IMAGE_MIN_DIM = 128
+    cfg.BOTTLENECK_WIDTH = 8
+    cfg.BRANCH_SIZE = 32
+    cfg.NR_DENSE_LAYERS = 1
+    cfg.LOC_BINS_PER_DIM = 4
+    cfg.ORI_BINS_PER_DIM = 4
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    cfg.update()
+    return cfg
+
+
+def init_and_apply(cfg, batch=2, training=False):
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(42), (batch, *cfg.IMAGE_SHAPE))
+    variables = model.init(jax.random.PRNGKey(0), x, training=False)
+    out = model.apply(variables, x, training=training,
+                      mutable=['batch_stats'] if training else False)
+    if training:
+        out = out[0]
+    return model, variables, out
+
+
+def test_regression_heads_shapes():
+    cfg = tiny_config(REGRESS_LOC=True, REGRESS_ORI=True,
+                      ORIENTATION_PARAM='quaternion')
+    _, variables, out = init_and_apply(cfg)
+    assert out['loc'].shape == (2, 3)
+    assert out['ori'].shape == (2, 4)
+    # quaternion output is L2-normalized (reference net.py:346)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out['ori']), axis=-1),
+                               1.0, atol=1e-5)
+
+
+def test_classification_heads_shapes():
+    cfg = tiny_config(REGRESS_LOC=False, REGRESS_ORI=False)
+    _, _, out = init_and_apply(cfg)
+    assert out['loc'].shape == (2, 4 ** 3)
+    assert out['ori'].shape == (2, 4 ** 3)
+    # ReLU final activation → non-negative (net.py:318,350)
+    assert np.asarray(out['loc']).min() >= 0
+    assert np.asarray(out['ori']).min() >= 0
+
+
+def test_euler_and_angleaxis_heads():
+    for param in ('euler_angles', 'angle_axis'):
+        cfg = tiny_config(ORIENTATION_PARAM=param)
+        _, _, out = init_and_apply(cfg)
+        assert out['ori'].shape == (2, 3)
+
+
+def test_keypoint_heads():
+    cfg = tiny_config(REGRESS_KEYPOINTS=True)
+    _, _, out = init_and_apply(cfg)
+    assert set(out) == {'loc', 'k1', 'k2'}
+    for v in out.values():
+        assert v.shape == (2, 3)
+
+
+def test_resnet50_layer_names_match_reference():
+    cfg = tiny_config(BACKBONE='resnet50')
+    model = build_model(cfg)
+    x = jnp.zeros((1, *cfg.IMAGE_SHAPE), jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x, training=False))
+    params = variables['params']
+    bb = params['backbone']
+    # Reference names (net.py:161-199)
+    assert 'conv1' in bb and 'bn_conv1' in bb
+    assert 'res2a' in bb and 'res2a_branch2a' in bb['res2a']
+    assert 'res4f' in bb  # resnet50 stage4 has blocks a..f
+    assert 'res4g' not in bb
+    assert 'res5c' in bb
+    assert 'bottleneck_layer' in params
+    assert 'loc_final' in params['loc_head']
+    assert 'ori_q' in params['ori_head']
+    # conv_block shortcut conv present only on 'a' blocks
+    assert 'res2a_branch1' in bb['res2a']
+    assert all('branch1' not in k for k in bb['res2b'])
+
+
+def test_resnet101_depth():
+    cfg = tiny_config(BACKBONE='resnet101')
+    model = build_model(cfg)
+    x = jnp.zeros((1, *cfg.IMAGE_SHAPE), jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x, training=False))
+    bb = variables['params']['backbone']
+    # stage-4 has 1 conv block + 22 identity blocks (net.py:188)
+    stage4 = [k for k in bb if k.startswith('res4')]
+    assert len(stage4) == 23
+
+
+def test_resnet18_layer_names():
+    cfg = tiny_config(BACKBONE='resnet18')
+    model = build_model(cfg)
+    x = jnp.zeros((1, *cfg.IMAGE_SHAPE), jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x, training=False))
+    bb = variables['params']['backbone']
+    assert 'conv0' in bb and 'bn_conv0' in bb
+    assert 'stage1_unit1' in bb
+    u = bb['stage1_unit1']
+    assert 'stage1_unit1_conv1' in u and 'stage1_unit1_conv2' in u
+    assert 'stage1_unit1_bn2' in u           # single BN (net.py:232)
+    assert 'stage1_unit1_sc' in u            # post cut on first block
+    # bias-free convs (net.py:245-247)
+    assert 'bias' not in u['stage1_unit1_conv1']
+    # stage4 of resnet18 has 2 units
+    assert 'stage4_unit2' in bb and 'stage4_unit3' not in bb
+
+
+def test_bottleneck_feature_count_matches_reference_formula():
+    cfg = tiny_config(BACKBONE='resnet18', BOTTLENECK_WIDTH=8)
+    model, variables, _ = init_and_apply(cfg)
+    # loc_dense_0 kernel input dim == B*H*W/64² (net.py:640)
+    k = variables['params']['loc_head']['loc_dense_0']['kernel']
+    k = k.value if hasattr(k, 'value') else k
+    assert k.shape[0] == cfg.head_input_features() == 8 * 128 * 128 // 4096
+
+
+def test_frozen_bn_does_not_update_stats():
+    cfg = tiny_config(TRAIN_BN=False)
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, *cfg.IMAGE_SHAPE))
+    variables = model.init(jax.random.PRNGKey(0), x, training=False)
+    out, mutated = model.apply(variables, x, training=True,
+                               mutable=['batch_stats'])
+    # Frozen BN: running stats unchanged by a training step
+    before = jax.tree.leaves(variables['batch_stats'])
+    after = jax.tree.leaves(mutated['batch_stats'])
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_trainable_bn_updates_stats():
+    cfg = tiny_config(TRAIN_BN=None)
+    model = build_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, *cfg.IMAGE_SHAPE)) * 3 + 1
+    variables = model.init(jax.random.PRNGKey(0), x, training=False)
+    out, mutated = model.apply(variables, x, training=True,
+                               mutable=['batch_stats'])
+    before = np.concatenate([np.asarray(v).ravel() for v in
+                             jax.tree.leaves(variables['batch_stats'])])
+    after = np.concatenate([np.asarray(v).ravel() for v in
+                            jax.tree.leaves(mutated['batch_stats'])])
+    assert not np.allclose(before, after)
+
+
+def test_bf16_policy_outputs_f32():
+    cfg = tiny_config(F16=True)
+    _, variables, out = init_and_apply(cfg)
+    assert out['loc'].dtype == jnp.float32  # outputs cast back to f32
+    # params stay f32 master copies
+    k = variables['params']['loc_head']['loc_final']['kernel']
+    k = k.value if hasattr(k, 'value') else k
+    assert k.dtype == jnp.float32
+
+
+def test_image_shape_validation():
+    cfg = tiny_config()
+    cfg.IMAGE_MAX_DIM = 100
+    cfg.IMAGE_MIN_DIM = 100
+    cfg.update()
+    with pytest.raises(ValueError):
+        build_model(cfg)

@@ -1,0 +1,236 @@
+"""Flax ResNet backbones (18/34/50/101), NHWC, TPU-first.
+
+Structural re-design of the reference Keras graphs:
+  * resnet50/101 bottleneck graph — reference net.py:85-199
+  * resnet18/34 basic-block graph — reference net.py:216-282
+
+Layer/param names mirror the reference exactly ('conv1', 'bn2a_branch2a',
+'res3b_branch2c', 'stage2_unit1_conv1', ...) so released h5 weights can be
+mapped 1:1 into the Flax param tree (checkpoint/h5_import.py).
+
+Key semantics preserved:
+  * BatchNorm freeze: train_bn=False (config TRAIN_BN) runs BN with running
+    statistics and no stat updates even during training — the reference's
+    BatchNorm(training=False) (net.py:60-76, config.py:146). Gamma/beta stay
+    trainable.
+  * Keras BatchNormalization defaults: epsilon=1e-3, momentum=0.99
+    (needed for imported-weight fidelity).
+  * The reference basic block applies a single BatchNorm (after conv1 only,
+    named '<base>bn2' — net.py:230-235); reproduced as-is since the released
+    resnet18/34-compatible weights assume it.
+  * Stem: explicit (3,3) zero-pad then VALID 7×7/2 conv (net.py:170-171) —
+    NOT 'SAME' padding; the two differ by one pixel of alignment.
+
+TPU notes: convolutions run in the compute dtype (bfloat16 under the F16
+policy) with float32 params and float32 BN statistics; XLA fuses
+BN-scale+ReLU into the convolutions. For inference, `fold_bn_params`
+(ursonet_tpu/models/folding.py) removes BN entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+# Keras BatchNormalization defaults (keras/layers/normalization.py)
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.99
+
+
+class FrozenAwareBN(nn.Module):
+    """BatchNorm honouring the reference TRAIN_BN semantics (net.py:60-76).
+
+    train_bn: None -> batch stats in training / running stats in eval.
+              False -> always running stats, never update (frozen).
+              True  -> always batch stats (reference says "don't use").
+    """
+    train_bn: Any = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        if self.train_bn is None:
+            use_running = not training
+        elif self.train_bn is False:
+            use_running = True
+        else:
+            use_running = not training  # True behaves like None at apply time
+        return nn.BatchNorm(
+            use_running_average=use_running,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+def _conv(features, kernel, strides=1, padding='SAME', use_bias=True,
+          name=None, dtype=jnp.float32):
+    return nn.Conv(features, (kernel, kernel), strides=(strides, strides),
+                   padding=padding, use_bias=use_bias, name=name, dtype=dtype)
+
+
+class BottleneckBlock(nn.Module):
+    """Bottleneck residual block (reference identity_block net.py:85-117 and
+    conv_block net.py:120-158, selected by `conv_shortcut`)."""
+    filters: Sequence[int]
+    stage: int
+    block: str
+    strides: int = 1
+    conv_shortcut: bool = False
+    use_bias: bool = True
+    train_bn: Any = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        f1, f2, f3 = self.filters
+        cname = f"res{self.stage}{self.block}_branch"
+        bname = f"bn{self.stage}{self.block}_branch"
+        dt = self.dtype
+
+        def bn(y, suffix):
+            return FrozenAwareBN(self.train_bn, dt, name=bname + suffix)(
+                y, training)
+
+        y = _conv(f1, 1, self.strides, 'VALID', self.use_bias,
+                  cname + '2a', dt)(x)
+        y = nn.relu(bn(y, '2a'))
+        y = _conv(f2, 3, 1, 'SAME', self.use_bias, cname + '2b', dt)(y)
+        y = nn.relu(bn(y, '2b'))
+        y = _conv(f3, 1, 1, 'VALID', self.use_bias, cname + '2c', dt)(y)
+        y = bn(y, '2c')
+
+        if self.conv_shortcut:
+            sc = _conv(f3, 1, self.strides, 'VALID', self.use_bias,
+                       cname + '1', dt)(x)
+            sc = FrozenAwareBN(self.train_bn, dt, name=bname + '1')(
+                sc, training)
+        else:
+            sc = x
+        return nn.relu(y + sc)
+
+
+class BasicBlock(nn.Module):
+    """Basic residual block (reference residual_basic_block net.py:216-240).
+
+    Reproduces the reference's single-BN structure: BN follows conv1 only
+    and is named '<base>bn2'; conv2 output is added to the shortcut raw.
+    """
+    filters: int
+    stage: int   # 0-based, as in the reference loop (net.py:267)
+    block: int   # 0-based
+    strides: int = 1
+    cut: str = 'pre'
+    use_bias: bool = False
+    train_bn: Any = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        base = f"stage{self.stage + 1}_unit{self.block + 1}_"
+        dt = self.dtype
+
+        if self.cut == 'post':
+            sc = _conv(self.filters, 1, self.strides, 'VALID', self.use_bias,
+                       base + 'sc', dt)(x)
+        else:
+            sc = x
+
+        pad = [(1, 1), (1, 1)]
+        y = _conv(self.filters, 3, self.strides, pad, self.use_bias,
+                  base + 'conv1', dt)(x)
+        y = FrozenAwareBN(self.train_bn, dt, name=base + 'bn2')(y, training)
+        y = nn.relu(y)
+        y = _conv(self.filters, 3, 1, pad, self.use_bias,
+                  base + 'conv2', dt)(y)
+        return nn.relu(y + sc)
+
+
+class ResNetBackbone(nn.Module):
+    """ResNet-50/101 feature extractor; returns C5 (reference
+    resnet_graph net.py:161-199 with stage5=True)."""
+    architecture: str = 'resnet50'
+    train_bn: Any = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        assert self.architecture in ('resnet50', 'resnet101')
+        dt = self.dtype
+        # Stage 1: explicit (3,3) pad + VALID 7x7/2 (net.py:170-171)
+        y = _conv(64, 7, 2, [(3, 3), (3, 3)], True, 'conv1', dt)(x)
+        y = FrozenAwareBN(self.train_bn, dt, name='bn_conv1')(y, training)
+        y = nn.relu(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding='SAME')
+
+        def blk(y, filters, stage, block, strides=1, conv_shortcut=False):
+            return BottleneckBlock(
+                filters, stage, block, strides, conv_shortcut,
+                train_bn=self.train_bn, dtype=dt,
+                name=f'res{stage}{block}')(y, training)
+
+        # Stage 2
+        y = blk(y, (64, 64, 256), 2, 'a', 1, True)
+        y = blk(y, (64, 64, 256), 2, 'b')
+        y = blk(y, (64, 64, 256), 2, 'c')
+        # Stage 3
+        y = blk(y, (128, 128, 512), 3, 'a', 2, True)
+        for b in 'bcd':
+            y = blk(y, (128, 128, 512), 3, b)
+        # Stage 4
+        y = blk(y, (256, 256, 1024), 4, 'a', 2, True)
+        n4 = {'resnet50': 5, 'resnet101': 22}[self.architecture]
+        for i in range(n4):
+            y = blk(y, (256, 256, 1024), 4, chr(98 + i))
+        # Stage 5
+        y = blk(y, (512, 512, 2048), 5, 'a', 2, True)
+        y = blk(y, (512, 512, 2048), 5, 'b')
+        y = blk(y, (512, 512, 2048), 5, 'c')
+        return y
+
+
+class ResNetShallowBackbone(nn.Module):
+    """ResNet-18/34 feature extractor (reference resnet_shallow_graph
+    net.py:242-282). Bias-free convs for pretrained-weight compatibility."""
+    architecture: str = 'resnet18'
+    train_bn: Any = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        assert self.architecture in ('resnet18', 'resnet34')
+        dt = self.dtype
+        y = _conv(64, 7, 2, [(3, 3), (3, 3)], False, 'conv0', dt)(x)
+        y = FrozenAwareBN(self.train_bn, dt, name='bn_conv0')(y, training)
+        y = nn.relu(y)
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding='SAME')
+
+        reps = [2, 2, 2, 2] if self.architecture == 'resnet18' else [3, 4, 6, 3]
+        for stage, rep in enumerate(reps):
+            for block in range(rep):
+                filters = 64 * (2 ** stage)
+                if block == 0 and stage == 0:
+                    strides, cut = 1, 'post'
+                elif block == 0:
+                    strides, cut = 2, 'post'
+                else:
+                    strides, cut = 1, 'pre'
+                y = BasicBlock(
+                    filters, stage, block, strides, cut,
+                    train_bn=self.train_bn, dtype=dt,
+                    name=f'stage{stage + 1}_unit{block + 1}')(y, training)
+        return y
+
+
+def make_backbone(architecture: str, train_bn, dtype) -> nn.Module:
+    if architecture in ('resnet50', 'resnet101'):
+        return ResNetBackbone(architecture, train_bn, dtype, name='backbone')
+    if architecture in ('resnet18', 'resnet34'):
+        return ResNetShallowBackbone(architecture, train_bn, dtype,
+                                     name='backbone')
+    raise ValueError(f"unsupported backbone {architecture}")
