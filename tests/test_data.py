@@ -1,0 +1,278 @@
+"""Data-layer tests: synthetic dataset generation, URSO/SPEED adapters,
+generator batching, host-parity vs device augmentation pipelines."""
+
+import numpy as np
+import pytest
+
+from ursonet_tpu import se3
+from ursonet_tpu.config import Config
+from ursonet_tpu.data import Speed, Urso
+from ursonet_tpu.data import loader as dloader
+from ursonet_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def urso_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("urso_synth")
+    return synthetic.make_urso_dataset(str(d), n_per_subset=6)
+
+
+@pytest.fixture(scope="module")
+def speed_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("speed_synth")
+    return synthetic.make_speed_dataset(str(d), n_per_subset=4)
+
+
+def small_config(**overrides):
+    cfg = Config()
+    cfg.BACKBONE = 'resnet18'
+    cfg.IMAGE_RESIZE_MODE = 'pad64'
+    cfg.IMAGE_MIN_DIM = 192
+    cfg.IMAGE_MAX_DIM = 256
+    cfg.ORI_BINS_PER_DIM = 8
+    cfg.LOC_BINS_PER_DIM = 4
+    cfg.ROT_AUG = False
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    cfg.update()
+    return cfg
+
+
+def test_urso_adapter_regression(urso_dir):
+    cfg = small_config(REGRESS_ORI=True, REGRESS_LOC=True)
+    ds = Urso()
+    ds.load_dataset(urso_dir, cfg, "train")
+    assert ds.num_images == 6
+    q = ds.load_quaternion(0)
+    assert q[3] >= 0  # north hemisphere
+    np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-5)
+    img = ds.load_image(0)
+    assert img.shape == (240, 320, 3) and img.dtype == np.uint8
+    # all parameterizations consistent
+    pyr = ds.load_euler_angles(0)
+    q2 = se3.euler2quat(*pyr)
+    assert se3.angle_between_quats(q, q2).item() < 0.1
+    aa = ds.load_angle_axis(0)
+    v = np.linalg.norm(aa)
+    q3 = se3.angleaxis2quat(np.asarray(aa) / v, v)
+    assert se3.angle_between_quats(q, q3).item() < 0.1
+
+
+def test_urso_adapter_classification(urso_dir):
+    cfg = small_config(REGRESS_ORI=False, REGRESS_LOC=False)
+    ds = Urso()
+    ds.load_dataset(urso_dir, cfg, "train")
+    assert ds.ori_histogram_map.shape == (8 ** 3, 4)
+    assert ds.histogram_3D_map.shape == (4 ** 3, 3)
+    pmf = ds.load_orientation_encoded(0)
+    np.testing.assert_allclose(pmf.sum(), 1.0, atol=1e-5)
+    lmf = ds.load_location_encoded(0)
+    np.testing.assert_allclose(lmf.sum(), 1.0, atol=1e-5)
+    # decoding the GT PMF recovers the pose within the quantization floor
+    q_dec, _ = se3.quat_weighted_avg(ds.ori_histogram_map, pmf)
+    assert se3.angle_between_quats(q_dec, ds.load_quaternion(0)).item() < 25
+
+
+def test_speed_adapter(speed_dir):
+    cfg = small_config()
+    ds = Speed()
+    ds.load_dataset(speed_dir, cfg, "train_no_val")
+    assert ds.num_images == 4
+    q = ds.load_quaternion(0)
+    np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-5)
+    img = ds.load_image(0)
+    assert img.shape[-1] == 3  # gray replicated to RGB
+    # grayscale: all channels equal
+    np.testing.assert_array_equal(img[..., 0], img[..., 1])
+
+
+def test_speed_test_subset_unlabeled(speed_dir):
+    cfg = small_config(REGRESS_ORI=False)
+    ds = Speed()
+    ds.load_dataset(speed_dir, cfg, "test")
+    assert ds.num_images == 4
+    assert ds.ori_histogram_map.shape == (8 ** 3, 4)
+    assert not ds.ori_output_mask.any()   # bogus all-False mask (speed.py:133)
+    assert 'quaternion' not in ds.image_info[0]
+
+
+def test_speed_quaternion_reorder(speed_dir):
+    import json, os
+    with open(os.path.join(speed_dir, 'train_no_val.json')) as f:
+        anns = json.load(f)
+    cfg = small_config()
+    ds = Speed()
+    ds.load_dataset(speed_dir, cfg, "train_no_val")
+    q_file = anns[0]['q_vbs2tango']          # scalar first
+    q_ds = ds.load_quaternion(0)             # scalar last + hemisphere
+    sign = np.sign(q_file[0])
+    np.testing.assert_allclose(
+        q_ds, sign * np.array([q_file[1], q_file[2], q_file[3], q_file[0]]),
+        atol=1e-6)
+
+
+def test_generator_parity_mode(urso_dir):
+    cfg = small_config(REGRESS_ORI=True, REGRESS_LOC=True,
+                       AUGMENT_ON_DEVICE=False)
+    ds = Urso()
+    ds.load_dataset(urso_dir, cfg, "train")
+    gen = dloader.data_generator(ds, cfg, batch_size=2, seed=0)
+    batch = next(gen)
+    assert batch['images'].shape == (2, 192, 256, 3)
+    assert batch['images'].dtype == np.float32
+    assert batch['gt_loc'].shape == (2, 3)
+    assert batch['gt_ori'].shape == (2, 4)
+    assert batch['image_meta'].shape == (2, 12)
+    # molded: roughly zero-centered
+    assert abs(batch['images'].mean()) < 130
+
+
+def test_generator_raw_mode(urso_dir):
+    cfg = small_config(AUGMENT_ON_DEVICE=True)
+    ds = Urso()
+    ds.load_dataset(urso_dir, cfg, "train")
+    gen = dloader.data_generator(ds, cfg, batch_size=2, seed=0)
+    batch = next(gen)
+    assert batch['images_u8'].dtype == np.uint8
+    assert batch['images_u8'].shape == (2, 192, 256, 3)
+    assert batch['quaternion'].shape == (2, 4)
+
+
+def test_generator_classification_batch(urso_dir):
+    cfg = small_config(REGRESS_ORI=False, REGRESS_LOC=False,
+                       AUGMENT_ON_DEVICE=False)
+    ds = Urso()
+    ds.load_dataset(urso_dir, cfg, "train")
+    batch = next(dloader.data_generator(ds, cfg, batch_size=2, seed=0))
+    assert batch['gt_ori'].shape == (2, 8 ** 3)
+    assert batch['gt_loc'].shape == (2, 4 ** 3)
+
+
+def test_generator_keypoints_batch(urso_dir):
+    cfg = small_config(REGRESS_KEYPOINTS=True, AUGMENT_ON_DEVICE=False)
+    ds = Urso()
+    ds.load_dataset(urso_dir, cfg, "train")
+    batch = next(dloader.data_generator(ds, cfg, batch_size=2, seed=0))
+    assert batch['gt_k1'].shape == (2, 3)
+    assert batch['gt_k2'].shape == (2, 3)
+
+
+def test_device_preprocess_no_aug_matches_parity(urso_dir):
+    """Without augmentation, device preprocessing must equal the host
+    parity pipeline (mold of resized image, raw poses)."""
+    import jax
+    cfg = small_config(REGRESS_ORI=True, REGRESS_LOC=True, ROT_AUG=False,
+                       SIM2REAL_AUG=False)
+    ds = Urso()
+    ds.load_dataset(urso_dir, cfg, "train")
+    cfg.AUGMENT_ON_DEVICE = False
+    parity = next(dloader.data_generator(ds, cfg, batch_size=2, shuffle=False,
+                                         seed=0))
+    cfg.AUGMENT_ON_DEVICE = True
+    raw = next(dloader.data_generator(ds, cfg, batch_size=2, shuffle=False,
+                                      seed=0))
+    pre = dloader.make_device_preprocess(cfg, ds)
+    out = jax.jit(pre)(jax.random.PRNGKey(0),
+                       {k: np.asarray(v) for k, v in raw.items()})
+    np.testing.assert_allclose(np.asarray(out['images']), parity['images'],
+                               atol=0.5)
+    np.testing.assert_allclose(np.asarray(out['gt_loc']), parity['gt_loc'],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out['gt_ori']), parity['gt_ori'],
+                               atol=1e-5)
+
+
+def test_device_preprocess_with_aug_updates_pose(urso_dir):
+    import jax
+    cfg = small_config(REGRESS_ORI=True, REGRESS_LOC=True, ROT_AUG=True,
+                       ROT_IMAGE_AUG=True, SIM2REAL_AUG=True)
+    ds = Urso()
+    ds.load_dataset(urso_dir, cfg, "train")
+    cfg.AUGMENT_ON_DEVICE = True
+    raw = next(dloader.data_generator(ds, cfg, batch_size=4, shuffle=False,
+                                      seed=0))
+    pre = dloader.make_device_preprocess(cfg, ds)
+    out = jax.jit(pre)(jax.random.PRNGKey(1),
+                       {k: np.asarray(v) for k, v in raw.items()})
+    # Rotated poses differ from the originals but quaternions stay unit
+    q = np.asarray(out['gt_ori'])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-5)
+    assert not np.allclose(q, raw['quaternion'])
+    # Location norm is preserved by rotations
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out['gt_loc']), axis=1),
+                               np.linalg.norm(raw['location'], axis=1),
+                               rtol=1e-4)
+
+
+def test_device_preprocess_classification_reencode(urso_dir):
+    import jax
+    cfg = small_config(REGRESS_ORI=False, REGRESS_LOC=True, ROT_AUG=True)
+    ds = Urso()
+    ds.load_dataset(urso_dir, cfg, "train")
+    cfg.AUGMENT_ON_DEVICE = True
+    raw = next(dloader.data_generator(ds, cfg, batch_size=2, shuffle=False,
+                                      seed=0))
+    pre = dloader.make_device_preprocess(cfg, ds)
+    out = jax.jit(pre)(jax.random.PRNGKey(2),
+                       {k: np.asarray(v) for k, v in raw.items()})
+    pmf = np.asarray(out['gt_ori'])
+    assert pmf.shape == (2, 8 ** 3)
+    np.testing.assert_allclose(pmf.sum(1), 1.0, atol=1e-4)
+    assert np.all(pmf[:, ds.ori_output_mask] == 0)
+
+
+def test_rotation_warp_device_matches_cv2(urso_dir):
+    """Device nearest warp vs cv2 WARP_INVERSE_MAP on the same M."""
+    import jax.numpy as jnp
+    import cv2
+    from ursonet_tpu.ops import augment as aug
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (96, 128, 3)).astype(np.float32)
+    R = se3.euler2SO3_left(3.0, -4.0, 5.0)
+    K = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]])
+    M = K @ R @ np.linalg.inv(K)
+    want = cv2.warpPerspective(img, M, (128, 96), flags=cv2.WARP_INVERSE_MAP)
+    got = np.asarray(aug.warp_nearest_jax(
+        jnp.asarray(img)[None], jnp.asarray(M, jnp.float32)[None])[0])
+    # Nearest-neighbour rounding ties may differ on a sparse set of pixels.
+    frac_diff = np.mean(np.any(got != want, axis=-1))
+    assert frac_diff < 0.08
+
+
+def test_rotate_cam_pose_update_consistency():
+    """q' and t' from the host warp must represent the same rigid change:
+    decode R from q'⊗q⁻¹ and check t' = t·Rᵀ."""
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (48, 64, 3)).astype(np.uint8)
+    t = np.array([10.0, 1.0, 2.0])
+    q = np.array([0.0, 0.0, 0.0, 1.0])
+    K = np.array([[50.0, 0, 32], [0, 50.0, 24], [0, 0, 1]])
+    from ursonet_tpu.ops import augment as aug
+    _, t_new, q_new = aug.rotate_cam(img, t, q, K, 20,
+                                     np.random.RandomState(3))
+    # q was identity → q_new is the rotation quaternion itself
+    R = se3.quat2SO3(q_new)
+    np.testing.assert_allclose(t_new, t @ R.T, atol=1e-6)
+
+
+def test_prefetcher(urso_dir):
+    cfg = small_config(AUGMENT_ON_DEVICE=False)
+    ds = Urso()
+    ds.load_dataset(urso_dir, cfg, "train")
+    gen = dloader.Prefetcher(
+        dloader.data_generator(ds, cfg, batch_size=2, seed=0), depth=2)
+    b1 = next(gen)
+    b2 = next(gen)
+    assert b1['images'].shape == b2['images'].shape
+
+
+def test_generator_error_tolerance(urso_dir):
+    cfg = small_config(AUGMENT_ON_DEVICE=False)
+    ds = Urso()
+    ds.load_dataset(urso_dir, cfg, "train")
+    # Corrupt one entry's path: generator must skip it
+    ds.image_info[1]['path'] = '/nonexistent.png'
+    gen = dloader.data_generator(ds, cfg, batch_size=2, shuffle=False, seed=0)
+    for _ in range(3):
+        batch = next(gen)
+        assert batch['images'].shape[0] == 2
