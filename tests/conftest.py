@@ -8,12 +8,20 @@ reference lacks (SURVEY.md §4).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment points JAX at a TPU platform (the
+# axon sitecustomize imports jax at interpreter start, so env vars alone
+# are too late — override the live config before any backend initializes).
+# The suite needs 8 virtual devices for the sharding tests, and CPU keeps
+# it hermetic.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -76,16 +76,20 @@ def _is_bn_param(path) -> bool:
     return len(keys) >= 2 and keys[-2] == 'bn'
 
 
-def l2_regularization(params, weight_decay: float):
-    """Σ wd·‖w‖²/size(w) over non-BN params (net.py:1008-1012).
+def l2_regularization(params, weight_decay: float, trainable=None):
+    """Σ wd·‖w‖²/size(w) over non-BN *trainable* params (net.py:1008-1012).
 
     Note the reference's keras.regularizers.l2(wd) computes wd·Σw² and each
     term is divided by the tensor's element count — i.e. wd·mean(w²).
+    `trainable` is an optional static bool tree (train/state.trainable_mask)
+    — the reference regularizes model.trainable_weights only (net.py:1008).
     """
     leaves = jax.tree_util.tree_leaves_with_path(params)
+    flags = (jax.tree_util.tree_leaves(trainable)
+             if trainable is not None else [True] * len(leaves))
     total = jnp.asarray(0.0, jnp.float32)
-    for path, w in leaves:
-        if _is_bn_param(path):
+    for (path, w), keep in zip(leaves, flags):
+        if _is_bn_param(path) or not keep:
             continue
         w = w.astype(jnp.float32)
         total = total + weight_decay * jnp.mean(jnp.square(w))
