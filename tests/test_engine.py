@@ -1,0 +1,174 @@
+"""Engine tests: train loop, checkpoint/resume contract, h5 import,
+inference — the L4 layer (SURVEY.md §2 #18-21, §5.3/5.4)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ursonet_tpu.config import Config
+from ursonet_tpu.data.synthetic import make_urso_dataset
+from ursonet_tpu.data.urso import Urso
+from ursonet_tpu.engine import UrsoNet
+
+
+class TinyConfig(Config):
+    NAME = 'tiny'
+    BACKBONE = 'resnet18'
+    BOTTLENECK_WIDTH = 8
+    BRANCH_SIZE = 16
+    IMAGE_RESIZE_MODE = 'square'
+    IMAGE_MAX_DIM = 64
+    IMAGE_MIN_DIM = 64
+    IMAGES_PER_GPU = 2
+    STEPS_PER_EPOCH = 3
+    VALIDATION_STEPS = 1
+    ROT_AUG = False
+    SIM2REAL_AUG = False
+
+
+@pytest.fixture(scope='module')
+def urso_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp('urso')
+    make_urso_dataset(str(d), subsets=('train', 'val', 'test'),
+                      n_per_subset=8, width=96, height=72)
+    return str(d)
+
+
+def _load(urso_dir, cfg, subset):
+    ds = Urso()
+    ds.load_dataset(urso_dir, cfg, subset)
+    return ds
+
+
+def test_train_checkpoint_resume_detect(urso_dir, tmp_path):
+    cfg = TinyConfig()
+    model_dir = str(tmp_path / 'logs')
+    train_ds = _load(urso_dir, cfg, 'train')
+    val_ds = _load(urso_dir, cfg, 'val')
+
+    engine = UrsoNet('training', cfg, model_dir)
+    engine.initialize()
+    means = engine.train(train_ds, val_ds, cfg.LEARNING_RATE, epochs=2,
+                         layers='all', log_fn=lambda *a: None)
+    assert 'loss' in means and np.isfinite(means['loss'])
+    assert 'val_loss' in means
+
+    # Per-epoch snapshots + metrics JSONL + config dump exist.
+    snaps = sorted(glob.glob(os.path.join(engine.log_dir, 'weights_*')))
+    assert len(snaps) == 2
+    with open(os.path.join(engine.log_dir, 'metrics.jsonl')) as f:
+        records = [json.loads(l) for l in f]
+    assert [r['epoch'] for r in records] == [0, 1]
+    assert glob.glob(os.path.join(engine.log_dir, 'config_*.json'))
+
+    # find_last discovers the newest snapshot; loading parses the epoch.
+    engine2 = UrsoNet('training', cfg, model_dir)
+    last = engine2.find_last()
+    assert last == snaps[-1]
+    engine2.load_weights(last)
+    assert engine2.epoch == 2
+    p1 = np.asarray(engine.state.params['bottleneck_layer']['kernel'])
+    p2 = np.asarray(engine2.state.params['bottleneck_layer']['kernel'])
+    np.testing.assert_array_equal(p1, p2)
+
+    # Exact resume restores optimizer state + step counter.
+    engine3 = UrsoNet('training', cfg, model_dir)
+    engine3.initialize()
+    assert engine3.resume_state(engine.log_dir)
+    assert int(engine3.state.step) == int(engine.state.step)
+    assert engine3.epoch == 2
+    v1 = np.asarray(engine.state.opt_state[1].velocity[
+        'bottleneck_layer']['kernel'])
+    v3 = np.asarray(engine3.state.opt_state[1].velocity[
+        'bottleneck_layer']['kernel'])
+    np.testing.assert_allclose(v1, v3)
+
+    # Inference path: detect on BATCH_SIZE raw images.
+    test_ds = _load(urso_dir, cfg, 'test')
+    imgs = [test_ds.load_image(i) for i in range(cfg.BATCH_SIZE)]
+    results = engine2.detect(imgs)
+    assert len(results) == cfg.BATCH_SIZE
+    assert results[0]['loc'].shape == (3,)
+    assert results[0]['ori'].shape == (4,)
+    np.testing.assert_allclose(np.linalg.norm(results[0]['ori']), 1.0,
+                               rtol=1e-5)
+
+
+def test_partial_load_with_exclusion(urso_dir, tmp_path):
+    cfg = TinyConfig()
+    engine = UrsoNet('training', cfg, str(tmp_path / 'logs'))
+    engine.initialize()
+    wpath = str(tmp_path / 'w.msgpack')
+    engine.save_weights(wpath)
+
+    # Fresh engine with different head config: excluded layers keep their
+    # fresh values, backbone layers load.
+    cfg2 = TinyConfig()
+    engine2 = UrsoNet('training', cfg2, str(tmp_path / 'logs2'))
+    engine2.initialize()
+    fresh_head = np.asarray(
+        engine2.state.params['ori_head']['ori_q']['kernel']).copy()
+    engine2.load_weights(wpath, exclude=[r'ori_.*', r'loc_.*'])
+    bb1 = np.asarray(
+        engine.state.params['backbone']['conv0']['kernel'])
+    bb2 = np.asarray(
+        engine2.state.params['backbone']['conv0']['kernel'])
+    np.testing.assert_array_equal(bb1, bb2)
+    head2 = np.asarray(engine2.state.params['ori_head']['ori_q']['kernel'])
+    np.testing.assert_array_equal(fresh_head, head2)
+
+
+def test_h5_import_by_name(tmp_path):
+    """A synthetic Keras-layout h5 maps into the Flax tree by layer name,
+    incl. BN gamma/beta/moving stats split across params/batch_stats."""
+    import h5py
+    import jax
+
+    from ursonet_tpu.checkpoint.h5_import import load_keras_h5
+    from ursonet_tpu.models.ursonet import build_model
+
+    cfg = TinyConfig()
+    model = build_model(cfg)
+    import flax.linen as nn
+    import jax.numpy as jnp
+    variables = nn.unbox(model.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 3)),
+                                    training=False))
+    params = jax.device_get(variables['params'])
+    stats = jax.device_get(variables['batch_stats'])
+
+    kshape = np.shape(params['backbone']['conv0']['kernel'])
+    kval = np.random.RandomState(0).randn(*kshape).astype('f4')
+    gshape = np.shape(params['backbone']['bn_conv0']['bn']['scale'])
+    gval = np.arange(gshape[0]).astype('f4')
+
+    path = str(tmp_path / 'ref.h5')
+    with h5py.File(path, 'w') as f:
+        f.attrs['layer_names'] = [b'conv0', b'bn_conv0', b'fpn_nope']
+        g = f.create_group('conv0')
+        g.attrs['weight_names'] = [b'conv0/kernel:0']
+        g.create_dataset('conv0/kernel:0', data=kval)
+        g = f.create_group('bn_conv0')
+        g.attrs['weight_names'] = [b'bn_conv0/gamma:0',
+                                   b'bn_conv0/moving_mean:0']
+        g.create_dataset('bn_conv0/gamma:0', data=gval)
+        g.create_dataset('bn_conv0/moving_mean:0', data=gval * 2.0)
+        g = f.create_group('fpn_nope')
+        g.attrs['weight_names'] = [b'fpn_nope/kernel:0']
+        g.create_dataset('fpn_nope/kernel:0', data=np.zeros((2, 2), 'f4'))
+
+    new_params, new_stats, report = load_keras_h5(path, params, stats)
+    np.testing.assert_array_equal(
+        new_params['backbone']['conv0']['kernel'], kval)
+    np.testing.assert_array_equal(
+        new_params['backbone']['bn_conv0']['bn']['scale'], gval)
+    np.testing.assert_array_equal(
+        new_stats['backbone']['bn_conv0']['bn']['mean'], gval * 2.0)
+    assert any('fpn_nope' in u for u in report['unmatched'])
+    assert len(report['mismatched']) == 0
+
+    excl, _, rep2 = load_keras_h5(path, params, stats, exclude=[r'conv0'])
+    assert any('conv0/kernel' in e for e in rep2['excluded'])

@@ -1,0 +1,293 @@
+"""The train/infer engine — TPU-native equivalent of the reference
+`net.UrsoNet` class (net.py:566-1308).
+
+Responsibilities (mirroring the reference method-for-method):
+  * build()            — Flax module + device mesh + optimizer
+  * load_weights()     — msgpack snapshots or Keras h5 (by-name, exclude)
+  * find_last()        — resume discovery contract
+  * train()            — epoch loop with layer-freezing presets, per-epoch
+                         atomic checkpoints, validation, JSONL metrics
+  * mold_inputs()/detect() — batched jit inference
+
+TPU-first internals: one jitted XLA program per train step (on-device
+augmentation fused in), batch sharded over the 'data' mesh axis, head
+kernels optionally sharded over 'model'; bf16 compute under F16.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ursonet_tpu import checkpoint as ckpt
+from ursonet_tpu import parallel
+from ursonet_tpu.checkpoint import h5_import
+from ursonet_tpu.data import loader as data_loader
+from ursonet_tpu.models.ursonet import build_model
+from ursonet_tpu.ops import image as imops
+from ursonet_tpu.train.optim import make_optimizer
+from ursonet_tpu.train.state import (TrainState, create_train_state,
+                                     state_from_params, trainable_mask)
+from ursonet_tpu.train.step import (make_eval_step, make_predict_fn,
+                                    make_train_step)
+
+
+class UrsoNet:
+    """Engine facade (reference net.UrsoNet, net.py:566)."""
+
+    def __init__(self, mode: str, config, model_dir: str):
+        assert mode in ('training', 'inference')
+        self.mode = mode
+        self.config = config
+        self.model_dir = model_dir
+        self.epoch = 0
+        self.set_log_dir()
+        self.build()
+
+    # -- graph/build ---------------------------------------------------------
+
+    def build(self):
+        self.model = build_model(self.config)
+        self.mesh = parallel.make_mesh(self.config)
+        self.tx = make_optimizer(self.config)
+        self.state: Optional[TrainState] = None
+        self._predict = make_predict_fn(self.model, self.config)
+        if self.config.DEBUG_NANS:
+            jax.config.update('jax_debug_nans', True)
+
+    def _sample_images(self):
+        h, w, c = (int(x) for x in self.config.IMAGE_SHAPE)
+        return jnp.zeros((self.config.BATCH_SIZE, h, w, c), jnp.float32)
+
+    def initialize(self, seed: Optional[int] = None):
+        """Random-init a sharded TrainState."""
+        seed = self.config.SEED if seed is None else seed
+        self.state = create_train_state(
+            self.model, self.config, self.tx, self.mesh,
+            jax.random.PRNGKey(seed), self._sample_images())
+        return self.state
+
+    # -- bookkeeping ---------------------------------------------------------
+
+    def set_log_dir(self, weights_path: Optional[str] = None):
+        """Run-dir + checkpoint template + epoch counter
+        (reference net.py:944-967)."""
+        self.log_dir, self.checkpoint_path, self.epoch = ckpt.set_log_dir(
+            self.model_dir, self.config.NAME, weights_path)
+
+    def find_last(self) -> str:
+        return ckpt.find_last(self.model_dir)
+
+    def get_last_checkpoint(self, model_name: str) -> str:
+        return ckpt.get_last_checkpoint(self.model_dir, model_name)
+
+    # -- weights -------------------------------------------------------------
+
+    def load_weights(self, path: str, exclude: Sequence[str] = (),
+                     verbose: bool = False):
+        """Load weights from a msgpack snapshot or a Keras h5 file, by
+        name with optional layer exclusion (reference net.py:816-852)."""
+        if self.state is None:
+            self.initialize()
+        if path.endswith('.h5'):
+            params, batch_stats, report = h5_import.load_keras_h5(
+                path, jax.device_get(self.state.params),
+                jax.device_get(self.state.batch_stats),
+                exclude=exclude, verbose=verbose)
+        else:
+            tree = ckpt.load_weights_file(path)
+            params, loaded, skipped = ckpt.merge_params(
+                jax.device_get(self.state.params), tree['params'], exclude)
+            batch_stats = self.state.batch_stats
+            if tree.get('batch_stats') is not None \
+                    and batch_stats is not None:
+                batch_stats, _, _ = ckpt.merge_params(
+                    jax.device_get(batch_stats), tree['batch_stats'],
+                    exclude)
+            if verbose:
+                print(f"loaded {len(loaded)} layers, skipped {skipped}")
+        self._set_weights(params, batch_stats)
+        self.set_log_dir(path)
+        return self.state
+
+    def _set_weights(self, params, batch_stats):
+        """Install host weight trees into a fresh sharded state."""
+        var_sh = parallel.variable_shardings(
+            self.mesh, jax.eval_shape(
+                lambda r: self.model.init(r, self._sample_images()[:1],
+                                          training=False),
+                jax.random.PRNGKey(0)))
+        params = jax.device_put(params, var_sh['params'])
+        if batch_stats is not None and var_sh.get('batch_stats') is not None:
+            batch_stats = jax.device_put(batch_stats, var_sh['batch_stats'])
+        step = self.state.step if self.state is not None else 0
+        self.state = state_from_params(params, batch_stats, self.tx,
+                                       step=int(step))
+
+    def save_weights(self, path: str):
+        ckpt.save_weights_file(path, self.state.params,
+                               self.state.batch_stats)
+
+    def resume_state(self, run_dir: Optional[str] = None) -> bool:
+        """Exact-resume from `state_latest.msgpack` if present (improves on
+        the reference's weights-only resume). Returns True on success."""
+        run_dir = run_dir or self.log_dir
+        path = os.path.join(run_dir, 'state_latest.msgpack')
+        if not os.path.exists(path):
+            return False
+        tree = ckpt.load_state(path)
+        if self.state is None:
+            self.initialize()
+        from flax import serialization
+        opt_state = serialization.from_state_dict(
+            self.tx.init(jax.device_get(self.state.params)),
+            tree['opt_state'])
+        self._set_weights(tree['params'], tree['batch_stats'])
+        self.state = self.state.replace(
+            step=jnp.asarray(tree['step'], jnp.int32), opt_state=opt_state)
+        self.epoch = int(tree['epoch'])
+        self.log_dir = run_dir
+        return True
+
+    # -- training ------------------------------------------------------------
+
+    def train(self, train_dataset, val_dataset, learning_rate: float,
+              epochs: int, layers: str = 'all',
+              log_fn=print) -> dict:
+        """Epoch loop (reference net.py:1068-1167).
+
+        layers: preset name (heads/3+/4+/5+/all) or a layer-name regex.
+        Returns the final epoch's metric means.
+        """
+        assert self.mode == 'training', "Create model in training mode."
+        cfg = self.config
+        if learning_rate is not None and learning_rate != cfg.LEARNING_RATE:
+            cfg.LEARNING_RATE = learning_rate
+            self.tx = make_optimizer(cfg)
+            if self.state is not None:
+                self.state = self.state.replace(
+                    opt_state=self.tx.init(self.state.params))
+        if self.state is None:
+            self.initialize()
+
+        mask = trainable_mask(jax.device_get(self.state.params), layers)
+        preprocess = None
+        raw = bool(getattr(cfg, 'AUGMENT_ON_DEVICE', False))
+        if raw:
+            preprocess = data_loader.make_device_preprocess(
+                cfg, train_dataset)
+        train_step = make_train_step(self.model, cfg, self.tx,
+                                     trainable=mask, preprocess=preprocess)
+        eval_step = make_eval_step(self.model, cfg, preprocess=preprocess)
+
+        train_gen = data_loader.Prefetcher(data_loader.data_generator(
+            train_dataset, cfg, shuffle=True, batch_size=cfg.BATCH_SIZE,
+            seed=cfg.SEED, raw=raw))
+        val_gen = data_loader.Prefetcher(data_loader.data_generator(
+            val_dataset, cfg, shuffle=True, batch_size=cfg.BATCH_SIZE,
+            seed=cfg.SEED + 1, raw=raw)) if val_dataset is not None else None
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        cfg.write_to_file(os.path.join(
+            self.log_dir, f"config_{self.epoch}.json"))
+        metrics_path = os.path.join(self.log_dir, 'metrics.jsonl')
+        key = jax.random.PRNGKey(cfg.SEED)
+        last_means = {}
+
+        with self.mesh:
+            for epoch in range(self.epoch, epochs):
+                t0 = time.time()
+                sums, n = {}, 0
+                for _ in range(cfg.STEPS_PER_EPOCH):
+                    key, sub = jax.random.split(key)
+                    batch = parallel.shard_batch(self.mesh, next(train_gen))
+                    self.state, metrics = train_step(self.state, batch, sub)
+                    n += 1
+                    for k, v in metrics.items():
+                        sums[k] = sums.get(k, 0.0) + float(v)
+                means = {k: v / n for k, v in sums.items()}
+
+                val_means = {}
+                if val_gen is not None:
+                    vsums, vn = {}, 0
+                    for _ in range(cfg.VALIDATION_STEPS):
+                        key, sub = jax.random.split(key)
+                        batch = parallel.shard_batch(self.mesh,
+                                                     next(val_gen))
+                        m = eval_step(self.state, batch, sub)
+                        vn += 1
+                        for k, v in m.items():
+                            vsums[k] = vsums.get(k, 0.0) + float(v)
+                    val_means = {f"val_{k}": v / vn
+                                 for k, v in vsums.items()}
+
+                dt = time.time() - t0
+                record = {'epoch': epoch, 'time_s': round(dt, 2),
+                          'imgs_per_s': round(
+                              n * cfg.BATCH_SIZE / dt, 2),
+                          **{k: round(v, 6) for k, v in means.items()},
+                          **{k: round(v, 6) for k, v in val_means.items()}}
+                with open(metrics_path, 'a') as f:
+                    f.write(json.dumps(record) + '\n')
+                log_fn(f"epoch {epoch}: " + " ".join(
+                    f"{k}={v}" for k, v in record.items() if k != 'epoch'))
+
+                ckpt.save_weights_file(
+                    ckpt.checkpoint_epoch(self.checkpoint_path, epoch),
+                    self.state.params, self.state.batch_stats)
+                ckpt.save_state(
+                    os.path.join(self.log_dir, 'state_latest.msgpack'),
+                    self.state, epoch + 1)
+                self.epoch = epoch + 1
+                last_means = {**means, **val_means}
+        return last_means
+
+    # -- inference -----------------------------------------------------------
+
+    def mold_inputs(self, images: Sequence[np.ndarray]):
+        """Resize + mean-subtract + meta for a list of raw images
+        (reference net.py:1169-1205)."""
+        cfg = self.config
+        molded, metas, windows = [], [], []
+        for image in images:
+            m, window, scale, padding, crop = imops.resize_image(
+                image, min_dim=cfg.IMAGE_MIN_DIM,
+                min_scale=cfg.IMAGE_MIN_SCALE,
+                max_dim=cfg.IMAGE_MAX_DIM, mode=cfg.IMAGE_RESIZE_MODE)
+            molded.append(imops.mold_image(m.astype(np.float32), cfg))
+            metas.append(imops.compose_image_meta(
+                0, image.shape, m.shape, window, scale))
+            windows.append(window)
+        return (np.stack(molded), np.stack(metas), np.stack(windows))
+
+    def detect(self, images: Sequence[np.ndarray],
+               verbose: bool = False) -> List[dict]:
+        """Run inference on a list of raw images; returns per-image dicts
+        of raw head outputs (reference net.py:1207-1259)."""
+        cfg = self.config
+        assert len(images) == cfg.BATCH_SIZE, \
+            "len(images) must equal BATCH_SIZE"
+        if self.state is None:
+            self.initialize()
+        molded, metas, _ = self.mold_inputs(images)
+        shapes = {m.shape for m in molded}
+        assert len(shapes) == 1, "images must mold to a single shape"
+        outputs = self._predict(self.state.params, self.state.batch_stats,
+                                jnp.asarray(molded))
+        outputs = {k: np.asarray(v) for k, v in outputs.items()}
+        results = []
+        for i in range(len(images)):
+            if cfg.REGRESS_KEYPOINTS:
+                results.append({'loc': outputs['loc'][i],
+                                'k1': outputs['k1'][i],
+                                'k2': outputs['k2'][i]})
+            else:
+                results.append({'loc': outputs['loc'][i],
+                                'ori': outputs['ori'][i]})
+        return results
