@@ -1,0 +1,273 @@
+#!/usr/bin/env python3
+"""CLI driver — command surface parity with the reference
+pose_estimator.py (argparse flags at pose_estimator.py:768-807, command
+dispatch at 934-973), plus TPU-native knobs (mesh shape, on-device
+augmentation, output dir).
+
+Commands:
+  train      train on URSO-style or SPEED datasets
+  test       spot-check N random test images (+ optional --video)
+  evaluate   full test-set metrics + CSV artifacts
+  submit     ESA challenge submission (SPEED only)
+
+Weights argument: a snapshot path, 'last', 'none' (random init),
+'imagenet' / 'coco' / released model names ('soyuz_hard', 'dragon_hard',
+'speed') — these last resolve to local .h5 files under --models_dir
+(downloads are not attempted; place the files there), or a run name whose
+latest checkpoint is used.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+ROOT_DIR = os.path.abspath(os.path.dirname(__file__))
+DEFAULT_LOGS_DIR = os.path.join(ROOT_DIR, "models", "logs")
+DEFAULT_DATA_DIR = os.path.join(ROOT_DIR, "datasets")
+DEFAULT_MODELS_DIR = os.path.join(ROOT_DIR, "models")
+
+ORIENTATION_PARAM_OPTIONS = {'euler_angles', 'quaternion', 'angle_axis'}
+RELEASED_MODELS = {'soyuz_hard', 'dragon_hard', 'speed'}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("command", metavar="<command>",
+                   help="'train', 'test', 'evaluate' or 'submit'")
+    p.add_argument('--backbone', default='resnet50',
+                   help='resnet18/34/50/101')
+    p.add_argument('--dataset', required=True, help='Dataset name')
+    p.add_argument('--epochs', default=100, type=int)
+    p.add_argument('--image_scale', default=1.0, type=float)
+    p.add_argument('--ori_weight', default=1.0, type=float)
+    p.add_argument('--loc_weight', default=1.0, type=float)
+    p.add_argument('--bottleneck', default=32, type=int)
+    p.add_argument('--branch_size', default=1024, type=int)
+    p.add_argument('--learn_rate', default=0.001, type=float)
+    p.add_argument('--batch_size', default=4, type=int,
+                   help='images per chip')
+    p.add_argument('--rot_aug', action='store_true')
+    p.add_argument('--rot_image_aug', action='store_true')
+    p.add_argument('--classify_ori', dest='regress_ori',
+                   action='store_false')
+    p.add_argument('--regress_ori', dest='regress_ori', action='store_true')
+    p.set_defaults(regress_ori=False)
+    p.add_argument('--classify_loc', dest='regress_loc',
+                   action='store_false')
+    p.add_argument('--regress_loc', dest='regress_loc', action='store_true')
+    p.set_defaults(regress_loc=True)
+    p.add_argument('--regress_keypoints', action='store_true',
+                   help='experimental; overrides the two above')
+    p.add_argument('--sim2real', action='store_true')
+    p.add_argument('--clr', action='store_true')
+    p.add_argument('--f16', action='store_true',
+                   help='bfloat16 compute on TPU')
+    p.add_argument('--square_image', action='store_true')
+    p.add_argument('--ori_param', default='quaternion',
+                   help="'quaternion' 'euler_angles' 'angle_axis'")
+    p.add_argument('--ori_resolution', default=16, type=int,
+                   help='bins per Euler dim (classification)')
+    p.add_argument('--weights', required=True)
+    p.add_argument('--logs', default=DEFAULT_LOGS_DIR)
+    p.add_argument('--image', help='single image to evaluate')
+    p.add_argument('--video', help='video to annotate (test command)')
+    # --- TPU-native extras -------------------------------------------------
+    p.add_argument('--data_dir', default=DEFAULT_DATA_DIR)
+    p.add_argument('--models_dir', default=DEFAULT_MODELS_DIR)
+    p.add_argument('--mesh_data', default=0, type=int,
+                   help='data-parallel mesh axis (0 = all chips)')
+    p.add_argument('--mesh_model', default=1, type=int,
+                   help='tensor-parallel mesh axis over the heads')
+    p.add_argument('--steps_per_epoch', default=None, type=int)
+    p.add_argument('--host_augment', action='store_true',
+                   help='run augmentation per-image on host (parity mode) '
+                        'instead of batched on device')
+    p.add_argument('--out_dir', default='.',
+                   help='where eval CSVs / overlays / submissions go')
+    p.add_argument('--seed', default=0, type=int)
+    return p
+
+
+def make_config(args):
+    import jax
+
+    from ursonet_tpu.config import Config
+    from ursonet_tpu.data import speed as speed_mod
+    from ursonet_tpu.data import urso as urso_mod
+
+    assert args.ori_param in ORIENTATION_PARAM_OPTIONS
+
+    config = Config()
+    config.ORIENTATION_PARAM = args.ori_param
+    config.ORI_BINS_PER_DIM = args.ori_resolution
+    config.NAME = args.dataset
+    config.EPOCHS = args.epochs
+    config.NR_DENSE_LAYERS = 1
+    config.LEARNING_RATE = args.learn_rate
+    config.BOTTLENECK_WIDTH = args.bottleneck
+    config.BRANCH_SIZE = args.branch_size
+    config.BACKBONE = args.backbone
+    config.ROT_AUG = args.rot_aug
+    config.F16 = args.f16
+    config.SIM2REAL_AUG = args.sim2real
+    config.CLR = args.clr
+    config.ROT_IMAGE_AUG = args.rot_image_aug
+    config.OPTIMIZER = "SGD"
+    config.REGRESS_ORI = args.regress_ori
+    config.REGRESS_LOC = args.regress_loc
+    config.REGRESS_KEYPOINTS = args.regress_keypoints
+    config.LOSS_WEIGHTS['loc_loss'] = args.loc_weight
+    config.LOSS_WEIGHTS['ori_loss'] = args.ori_weight
+    config.SEED = args.seed
+    config.AUGMENT_ON_DEVICE = not args.host_augment
+    config.IMAGE_RESIZE_MODE = 'square' if args.square_image else 'pad64'
+
+    if args.dataset == "speed":
+        w0, h0 = speed_mod.Camera.width, speed_mod.Camera.height
+    else:
+        w0, h0 = urso_mod.Camera.width, urso_mod.Camera.height
+    config.IMAGE_MAX_DIM = round(w0 * args.image_scale)
+    if config.IMAGE_MAX_DIM % 64 > 0:
+        raise SystemExit(
+            "Scale problem. Image maximum dimension must be dividable "
+            "by 2 at least 6 times.")
+    h = round(h0 * args.image_scale)
+    config.IMAGE_MIN_DIM = h - h % 64 + 64 if h % 64 else h
+
+    config.IMAGES_PER_GPU = args.batch_size if args.command == 'train' \
+        else 1
+    n_dev = len(jax.devices())
+    config.MESH_MODEL = max(1, args.mesh_model)
+    if args.mesh_data > 0:
+        config.MESH_DATA = args.mesh_data
+    else:
+        config.MESH_DATA = max(1, n_dev // config.MESH_MODEL)
+    if args.steps_per_epoch:
+        config.STEPS_PER_EPOCH = args.steps_per_epoch
+    config.update()
+    return config
+
+
+def resolve_and_load_weights(engine, args):
+    """Weight-source resolution (reference pose_estimator.py:884-913)."""
+    from ursonet_tpu.checkpoint.h5_import import check_released_config
+
+    w = args.weights.lower()
+    if w == 'none':
+        engine.initialize()
+        return
+    if w == 'last':
+        path = engine.find_last()
+        engine.load_weights(path, verbose=True)
+        return
+    if w == 'coco':
+        path = os.path.join(args.models_dir, 'mask_rcnn_coco.h5')
+        if not os.path.exists(path):
+            raise SystemExit(
+                f"COCO weights not found at {path}; download "
+                "mask_rcnn_coco.h5 there (no network access here).")
+        engine.load_weights(path, exclude=[
+            "mrcnn_class_logits", "mrcnn_bbox_fc", "mrcnn_bbox",
+            "mrcnn_mask"], verbose=True)
+        return
+    if w == 'imagenet':
+        path = os.path.join(args.models_dir,
+                            f'imagenet_{engine.config.BACKBONE}.h5')
+        if not os.path.exists(path):
+            raise SystemExit(
+                f"ImageNet weights not found at {path}; place the Keras "
+                f"{engine.config.BACKBONE} notop weights there.")
+        engine.load_weights(path, verbose=True)
+        return
+    if w in RELEASED_MODELS:
+        err = check_released_config(w, engine.config)
+        if err:
+            raise SystemExit(err)
+        path = os.path.join(args.models_dir, f'ursonet_{w}.h5')
+        if not os.path.exists(path):
+            raise SystemExit(
+                f"Released weights not found at {path}.")
+        engine.load_weights(path, verbose=True)
+        return
+    if os.path.exists(args.weights):
+        engine.load_weights(args.weights, verbose=True)
+        return
+    # a run/model name: use its latest checkpoint
+    path = engine.get_last_checkpoint(args.weights)
+    engine.load_weights(path, verbose=True)
+
+
+def load_datasets(args, config, subsets):
+    from ursonet_tpu.data.speed import Speed
+    from ursonet_tpu.data.urso import Urso
+
+    dataset_dir = os.path.join(args.data_dir, args.dataset)
+    out = []
+    for subset in subsets:
+        ds = Speed() if args.dataset == 'speed' else Urso()
+        ds.load_dataset(dataset_dir, config, subset)
+        out.append(ds)
+    return out
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    print("Command: ", args.command)
+    print("Dataset: ", args.dataset)
+    print("Logs: ", args.logs)
+
+    config = make_config(args)
+    config.display()
+
+    from ursonet_tpu.engine import UrsoNet
+
+    mode = 'training' if args.command == 'train' else 'inference'
+    engine = UrsoNet(mode=mode, config=config, model_dir=args.logs)
+    resolve_and_load_weights(engine, args)
+
+    if args.command == 'train':
+        if args.dataset == 'speed':
+            train_ds, val_ds = load_datasets(args, config,
+                                             ('train_no_val', 'val'))
+        else:
+            train_ds, val_ds = load_datasets(args, config, ('train', 'val'))
+        n = len(train_ds.image_ids)
+        config.STEPS_PER_EPOCH = min(config.STEPS_PER_EPOCH,
+                                     max(1, n // config.BATCH_SIZE))
+        engine.train(train_ds, val_ds, config.LEARNING_RATE,
+                     epochs=config.EPOCHS, layers='all')
+    elif args.command == 'test':
+        subset = 'val' if args.dataset == 'speed' else 'test'
+        (dataset,) = load_datasets(args, config, (subset,))
+        if args.video:
+            from ursonet_tpu.video import detect_video
+            detect_video(engine, dataset, args.video,
+                         out_path=os.path.join(
+                             args.out_dir, os.path.basename(
+                                 args.video) + '_annotated.mp4'))
+        else:
+            from ursonet_tpu.evaluate import detect_dataset
+            detect_dataset(engine, dataset, 10,
+                           out_dir=os.path.join(args.out_dir, 'overlays'))
+    elif args.command == 'evaluate':
+        subset = 'val' if args.dataset == 'speed' else 'test'
+        (dataset,) = load_datasets(args, config, (subset,))
+        from ursonet_tpu.evaluate import evaluate
+        evaluate(engine, dataset, out_dir=args.out_dir)
+    elif args.command == 'submit':
+        if args.dataset != 'speed':
+            raise SystemExit("submit requires --dataset speed")
+        real_ds, virtual_ds = load_datasets(args, config,
+                                            ('real_test', 'test'))
+        from ursonet_tpu.submission import test_and_submit
+        test_and_submit(engine, virtual_ds, real_ds, out_dir=args.out_dir)
+    else:
+        print("wrong command")
+        return 2
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""End-to-end CLI tests: train -> evaluate -> test -> submit on synthetic
+micro-datasets, plus the dataset splitters (SURVEY.md §2 #22-23, #26,
+#28-29)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import pose_estimator
+import split_dataset as splitter
+from ursonet_tpu.data.synthetic import make_speed_dataset, make_urso_dataset
+
+
+@pytest.fixture(scope='module')
+def urso_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp('cli')
+    data_dir = root / 'datasets'
+    ds_dir = data_dir / 'soyuz_tiny'
+    make_urso_dataset(str(ds_dir), subsets=('train', 'val', 'test'),
+                      n_per_subset=6, width=128, height=96)
+    return {'root': str(root), 'data_dir': str(data_dir),
+            'logs': str(root / 'logs'), 'out': str(root / 'out')}
+
+
+COMMON = ['--backbone', 'resnet18', '--bottleneck', '8',
+          '--branch_size', '16', '--image_scale', '0.1',
+          '--regress_ori']
+
+
+def _args(env, command, *extra):
+    return ([command, '--dataset', 'soyuz_tiny',
+             '--data_dir', env['data_dir'], '--logs', env['logs'],
+             '--out_dir', env['out']] + COMMON + list(extra))
+
+
+def test_cli_train_then_evaluate_then_test(urso_env, capsys):
+    rc = pose_estimator.main(_args(
+        urso_env, 'train', '--weights', 'none', '--epochs', '1',
+        '--batch_size', '2', '--steps_per_epoch', '2'))
+    assert rc == 0
+    runs = glob.glob(os.path.join(urso_env['logs'], 'soyuz_tiny*'))
+    assert runs, "run dir created"
+    assert glob.glob(os.path.join(runs[0], 'weights_*.msgpack'))
+
+    rc = pose_estimator.main(_args(urso_env, 'evaluate',
+                                   '--weights', 'last'))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'ESA score' in out
+    for csv_name in ('ori_err.csv', 'loc_err.csv', 'dists_err.csv'):
+        assert os.path.exists(os.path.join(urso_env['out'], csv_name))
+
+    rc = pose_estimator.main(_args(urso_env, 'test', '--weights', 'last'))
+    assert rc == 0
+    overlays = glob.glob(os.path.join(urso_env['out'], 'overlays', '*.png'))
+    assert overlays, "axes overlays saved"
+
+
+def test_cli_submit_speed(tmp_path, capsys):
+    data_dir = tmp_path / 'datasets'
+    make_speed_dataset(str(data_dir / 'speed'),
+                       subsets=('train_no_val', 'val', 'test', 'real_test'),
+                       n_per_subset=3, width=192, height=120)
+    rc = pose_estimator.main(
+        ['submit', '--dataset', 'speed', '--data_dir', str(data_dir),
+         '--logs', str(tmp_path / 'logs'), '--out_dir', str(tmp_path),
+         '--weights', 'none', '--image_scale', '0.1'] + COMMON[:6])
+    assert rc == 0
+    subs = glob.glob(str(tmp_path / 'submission_*.csv'))
+    assert len(subs) == 1
+    with open(subs[0]) as f:
+        rows = [l.strip().split(',') for l in f if l.strip()]
+    assert len(rows) == 6  # test + real_test
+    # filename + scalar-first quaternion (4) + location (3)
+    assert len(rows[0]) == 8
+    q = np.asarray([float(v) for v in rows[0][1:5]])
+    np.testing.assert_allclose(np.linalg.norm(q), 1.0, rtol=1e-4)
+    # sorted: synthetic set first, each sorted by filename
+    names = [r[0] for r in rows]
+    assert names[:3] == sorted(names[:3])
+    assert names[3:] == sorted(names[3:])
+
+
+def test_split_urso(tmp_path):
+    import pandas as pd
+    from PIL import Image
+    d = tmp_path / 'urso'
+    d.mkdir()
+    n = 20
+    rows = []
+    for i in range(n):
+        Image.fromarray(
+            np.zeros((8, 8, 3), np.uint8)).save(d / f"{i}_rgb.png")
+        rows.append([i, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0])
+    pd.DataFrame(rows, columns=['i', 'x', 'y', 'z',
+                                'q1', 'q2', 'q3', 'q4']) \
+        .to_csv(d / 'gt.csv', index=False)
+    counts = splitter.split_urso(str(d), 10, 10, seed=0)
+    assert counts == {'test': 2, 'val': 2, 'train': 16}
+    for subset in ('train', 'val', 'test'):
+        with open(d / f'{subset}_images.csv') as f:
+            images = [l.strip() for l in f if l.strip()]
+        poses = pd.read_csv(d / f'{subset}_poses_gt.csv')
+        assert len(images) == len(poses) == counts[subset]
+        # image names track the shuffled pose rows
+        assert images[0] == f"{int(poses.iloc[0]['i'])}_rgb.png"
+    all_images = set()
+    for subset in ('train', 'val', 'test'):
+        with open(d / f'{subset}_images.csv') as f:
+            all_images |= {l.strip() for l in f if l.strip()}
+    assert len(all_images) == n
+
+
+def test_split_and_merge_speed(tmp_path):
+    import json
+    d = tmp_path / 'speed'
+    d.mkdir()
+    anns = [{'filename': f'img{i:03d}.jpg',
+             'q_vbs2tango': [1, 0, 0, 0],
+             'r_Vo2To_vbs_true': [0, 0, 10]} for i in range(10)]
+    with open(d / 'train.json', 'w') as f:
+        json.dump(anns, f)
+    counts = splitter.split_speed(str(d), 0.2, seed=0)
+    assert counts['val'] == 2 and counts['train_no_val'] == 8
+    total = splitter.merge_speed(str(d / 'train_no_val.json'),
+                                 str(d / 'val.json'),
+                                 str(d / 'merged.json'))
+    assert total == 10
+    with open(d / 'merged.json') as f:
+        assert len(json.load(f)) == 10

@@ -1,0 +1,88 @@
+"""Video inference (reference detect_video, pose_estimator.py:606-745).
+
+Reads a video, runs the jitted forward per frame (frames are batched up to
+BATCH_SIZE for TPU efficiency — the reference ran one frame at a time),
+decodes poses, overlays the estimated body axes, and writes an annotated
+video next to the input. The UnrealCV re-rendering block of the reference
+(commented out there, pose_estimator.py:705-745) is not reproduced.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ursonet_tpu import se3
+from ursonet_tpu.evaluate import decode_results
+from ursonet_tpu.ops.viz import axes_endpoints, project_points
+
+
+def _overlay_axes(frame, K, loc, q, frame_convention='unreal',
+                  scale: float = 1.0):
+    import cv2
+    origin, ends = axes_endpoints(q, loc, scale)
+    o2 = project_points(K, origin[None], frame_convention)[0]
+    e2 = project_points(K, ends, frame_convention)
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    out = np.ascontiguousarray(frame)
+    for i, c in enumerate(colors):
+        p0 = tuple(int(v) for v in o2)
+        p1 = tuple(int(v) for v in e2[i])
+        cv2.line(out, p0, p1, c, 2)
+    return out
+
+
+def detect_video(engine, dataset, video_path: str,
+                 out_path: str = None, max_frames: int = None,
+                 log_fn=print) -> str:
+    """Annotate a video with per-frame pose estimates."""
+    import imageio.v2 as imageio
+    import jax.numpy as jnp
+
+    cfg = engine.config
+    if engine.state is None:
+        engine.initialize()
+    if out_path is None:
+        base, _ = os.path.splitext(video_path)
+        out_path = base + '_annotated.mp4'
+
+    frame_conv = 'unreal' if dataset.name == 'Urso' else 'camera'
+    reader = imageio.get_reader(video_path)
+    meta = reader.get_meta_data()
+    writer = imageio.get_writer(out_path, fps=meta.get('fps', 25))
+
+    bs = cfg.BATCH_SIZE
+    buf = []
+    n_done = 0
+
+    def flush(buf):
+        nonlocal n_done
+        if not buf:
+            return
+        pad = bs - len(buf)
+        batch = buf + [buf[-1]] * pad
+        molded, metas, _ = engine.mold_inputs(batch)
+        raw = engine._predict(engine.state.params, engine.state.batch_stats,
+                              jnp.asarray(molded))
+        raw = {k: np.asarray(v)[:len(buf)] for k, v in raw.items()}
+        locs, qs = decode_results(raw, cfg, dataset)
+        for i, frame in enumerate(buf):
+            writer.append_data(_overlay_axes(
+                frame, dataset.camera.K, locs[i], qs[i], frame_conv))
+            n_done += 1
+        buf.clear()
+
+    for frame in reader:
+        if frame.ndim == 2:
+            frame = np.stack([frame] * 3, axis=-1)
+        buf.append(frame[..., :3])
+        if len(buf) == bs:
+            flush(buf)
+        if max_frames and n_done + len(buf) >= max_frames:
+            break
+    flush(buf)
+    writer.close()
+    reader.close()
+    log_fn(f"Annotated video written to {out_path} ({n_done} frames)")
+    return out_path
