@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Headline benchmark: ResNet-50 flagship inference throughput per chip.
+
+Measures steady-state images/sec of the jitted flagship forward pass
+(ResNet-50 + bottleneck-128 + dual heads, 512×640 bf16 — the released
+soyuz_hard configuration at image_scale 0.5) on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against the 5,000 imgs/sec/chip north-star target
+(BASELINE.md): value / 5000.
+
+Env knobs: BENCH_BATCH (default 128), BENCH_ITERS (default 20),
+BENCH_IMAGE='H,W' to override the input resolution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ursonet_tpu.config import Config
+    from ursonet_tpu.models.ursonet import build_model
+
+    batch = int(os.environ.get('BENCH_BATCH', '128'))
+    iters = int(os.environ.get('BENCH_ITERS', '20'))
+    h, w = (int(x) for x in os.environ.get('BENCH_IMAGE', '512,640')
+            .split(','))
+
+    config = Config()
+    config.BACKBONE = 'resnet50'
+    config.BOTTLENECK_WIDTH = 128
+    config.BRANCH_SIZE = 1024
+    config.REGRESS_LOC = True
+    config.REGRESS_ORI = False
+    config.ORI_BINS_PER_DIM = 24
+    config.IMAGE_RESIZE_MODE = 'pad64'
+    config.IMAGE_MIN_DIM = h
+    config.IMAGE_MAX_DIM = w
+    config.F16 = True
+    config.update()
+
+    model = build_model(config)
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(batch, h, w, 3).astype(np.float32))
+
+    import flax.linen as nn
+    variables = nn.unbox(
+        jax.jit(lambda r: model.init(r, images[:1], training=False))(
+            jax.random.PRNGKey(0)))
+    params = variables['params']
+    batch_stats = variables['batch_stats']
+
+    # The forward reduces the head outputs to one scalar on device:
+    # fetching the raw ori-PMF ([batch, bins³]) through the (remote)
+    # device link would dominate the measurement. Executions are queued
+    # asynchronously and synced once at the end with a 4-byte scalar
+    # fetch — per-device PJRT streams execute in order, so the last
+    # result completing implies all prior calls completed. (lax.scan-based
+    # device loops hang on the axon remote platform; plain queued
+    # dispatches are reliable.)
+    @jax.jit
+    def forward(params, batch_stats, images):
+        out = model.apply({'params': params, 'batch_stats': batch_stats},
+                          images, training=False)
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
+
+    # Warmup / compile.
+    s = float(forward(params, batch_stats, images))
+    assert s == s, "non-finite benchmark output"
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(params, batch_stats, images)
+    s = float(out)  # single scalar sync
+    dt = time.perf_counter() - t0
+    assert s == s, "non-finite benchmark output"
+
+    imgs_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "resnet50_512x640_bf16_infer",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / 5000.0, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()
