@@ -241,7 +241,25 @@ def main(argv=None):
     elif args.command == 'test':
         subset = 'val' if args.dataset == 'speed' else 'test'
         (dataset,) = load_datasets(args, config, (subset,))
-        if args.video:
+        if args.image:
+            import numpy as np
+
+            from ursonet_tpu.data.dataset import load_image_rgb
+            from ursonet_tpu.evaluate import decode_results
+            from ursonet_tpu.ops import viz
+            image = load_image_rgb(args.image)
+            outputs = engine.detect([image] * config.BATCH_SIZE)
+            raw = {k: np.stack([outputs[0][k]])
+                   for k in outputs[0]}
+            locs, qs = decode_results(raw, config, dataset)
+            print(f"loc: {locs[0]}  quaternion (scalar-last): {qs[0]}")
+            os.makedirs(args.out_dir, exist_ok=True)
+            out_png = os.path.join(args.out_dir, 'single_image_pose.png')
+            viz.save_axes_overlay(
+                image, dataset.camera.K, locs[0], qs[0], path=out_png,
+                frame='unreal' if args.dataset != 'speed' else 'camera')
+            print(f"overlay saved to {out_png}")
+        elif args.video:
             from ursonet_tpu.video import detect_video
             detect_video(engine, dataset, args.video,
                          out_path=os.path.join(

@@ -1,0 +1,170 @@
+"""Tests for auxiliary components: GMM EM fitting (#24), BN folding,
+profiling/FLOPs hooks (#31), Kendall learnable loss weights."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ursonet_tpu.config import Config
+
+
+class TinyConfig(Config):
+    BACKBONE = 'resnet18'
+    BOTTLENECK_WIDTH = 8
+    BRANCH_SIZE = 16
+    IMAGE_RESIZE_MODE = 'square'
+    IMAGE_MAX_DIM = 64
+    IMAGE_MIN_DIM = 64
+    IMAGES_PER_GPU = 2
+    ROT_AUG = False
+
+
+def test_gmm_recovers_bimodal_pmf():
+    from ursonet_tpu.ops import encoders
+    from ursonet_tpu.ops.gmm import fit_gmm_to_orientation
+    from ursonet_tpu import se3
+
+    grid = encoders.build_ori_grid(16, (-180, -90, -180), (180, 90, 180))
+    q_map = grid.quat[~grid.mask].astype(np.float64)  # mask = REDUNDANT bins
+    # Two well-separated modes
+    qa = np.asarray(se3.euler2quat(10.0, 20.0, 30.0)).ravel()
+    qb = np.asarray(se3.euler2quat(-120.0, -40.0, 100.0)).ravel()
+    var = (3.0 / 16) ** 2 / 12
+
+    def gaussian_pmf(q):
+        d = np.abs(q_map @ q)
+        ang = (2 * np.arccos(np.clip(d, -1, 1)) * 180 / np.pi / 180.0)
+        p = np.exp(-ang ** 2 / (2 * var))
+        return p
+
+    pmf = 0.6 * gaussian_pmf(qa) + 0.4 * gaussian_pmf(qb)
+    pmf /= pmf.sum()
+    means, variances, priors, scores = fit_gmm_to_orientation(
+        q_map, pmf, nr_iterations=8, var=var)
+    assert len(means) >= 2
+    # Both modes recovered (in some order), within a few degrees.
+    def ang_err(q, q_ref):
+        return 2 * np.degrees(np.arccos(min(abs(float(q @ q_ref)), 1.0)))
+    errs_a = [ang_err(m, qa) for m in means]
+    errs_b = [ang_err(m, qb) for m in means]
+    assert min(errs_a) < 10.0
+    assert min(errs_b) < 10.0
+    # Strongest mode first (sorted by prior)
+    assert priors[0] >= priors[-1]
+
+
+def test_bn_folding_preserves_function():
+    import flax.linen as nn
+
+    from ursonet_tpu.models.folding import fold_bn
+    from ursonet_tpu.models.ursonet import build_model
+
+    for backbone in ('resnet18', 'resnet50'):
+        cfg = TinyConfig()
+        cfg.BACKBONE = backbone
+        cfg.update()
+        model = build_model(cfg)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3) * 255,
+                        jnp.float32)
+        v = nn.unbox(model.init(jax.random.PRNGKey(0), x, training=False))
+        # Non-trivial BN stats so folding actually does something.
+        stats = jax.tree.map(
+            lambda a: a + 0.3 * np.random.RandomState(1).rand(*a.shape)
+            .astype(a.dtype), v['batch_stats'])
+        out1 = model.apply({'params': v['params'], 'batch_stats': stats},
+                           x, training=False)
+        fp, fs = fold_bn(v['params'], stats)
+        changed = np.abs(np.asarray(
+            fp['backbone']['conv0' if backbone == 'resnet18'
+                           else 'conv1']['kernel']) -
+            np.asarray(v['params']['backbone'][
+                'conv0' if backbone == 'resnet18' else 'conv1']['kernel']))
+        assert changed.max() > 0, "folding changed nothing"
+        out2 = model.apply({'params': fp, 'batch_stats': fs}, x,
+                           training=False)
+        for k in out1:
+            np.testing.assert_allclose(np.asarray(out1[k]),
+                                       np.asarray(out2[k]),
+                                       rtol=2e-3, atol=2e-3)
+
+
+def test_flops_and_cost_analysis():
+    from ursonet_tpu.utils import get_flops
+
+    def f(a, b):
+        return a @ b
+
+    a = jnp.zeros((64, 128), jnp.float32)
+    b = jnp.zeros((128, 32), jnp.float32)
+    flops = get_flops(f, a, b)
+    assert flops == 2 * 64 * 128 * 32
+
+
+def test_tensor_stats_log(capsys):
+    from ursonet_tpu.utils import log_tensor_stats
+    log_tensor_stats("myarr", np.arange(6.0).reshape(2, 3))
+    out = capsys.readouterr().out
+    assert "myarr" in out and "(2, 3)" in out and "5.0" in out
+
+
+def test_learnable_loss_weights_train():
+    from ursonet_tpu import parallel
+    from ursonet_tpu.models.ursonet import build_model
+    from ursonet_tpu.train.optim import make_optimizer
+    from ursonet_tpu.train.state import create_train_state
+    from ursonet_tpu.train.step import make_train_step
+
+    cfg = TinyConfig()
+    cfg.LEARNABLE_LOSS_WEIGHTS = True
+    cfg.update()
+    rng = np.random.RandomState(0)
+    q = rng.randn(2, 4)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    batch = {
+        'images': jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32),
+        'gt_loc': jnp.asarray(rng.randn(2, 3) + 10, jnp.float32),
+        'gt_ori': jnp.asarray(q, jnp.float32),
+    }
+    mesh = parallel.make_mesh(cfg)
+    model = build_model(cfg)
+    tx = make_optimizer(cfg)
+    state = create_train_state(model, cfg, tx, mesh, jax.random.PRNGKey(0),
+                               batch['images'])
+    assert 'loss_log_vars' in state.params
+    s0 = {k: float(v) for k, v in state.params['loss_log_vars'].items()}
+    step = make_train_step(model, cfg, tx)
+    with mesh:
+        for i in range(3):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    s1 = {k: float(v) for k, v in state.params['loss_log_vars'].items()}
+    assert np.isfinite(float(metrics['loss']))
+    # The log-variances receive gradients and move.
+    assert any(abs(s1[k] - s0[k]) > 1e-6 for k in s0)
+
+
+def test_space_to_depth_stem_equivalence():
+    """The s2d stem computes exactly the same function as the 7x7/2 stem
+    once the kernel is remapped (models/resnet.py:stem_kernel_to_s2d)."""
+    import flax.linen as nn
+    from ursonet_tpu.models.resnet import (make_backbone,
+                                           stem_kernel_to_s2d)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 96, 3) * 2 - 1,
+                    jnp.float32)
+    for arch, stem in (('resnet50', 'conv1'), ('resnet18', 'conv0')):
+        ref = make_backbone(arch, False, jnp.float32, stem_s2d=False)
+        v_ref = nn.unbox(ref.init(jax.random.PRNGKey(0), x, training=False))
+        s2d = make_backbone(arch, False, jnp.float32, stem_s2d=True)
+        v_s2d = nn.unbox(s2d.init(jax.random.PRNGKey(0), x, training=False))
+        # copy every param; remap the stem kernel
+        import copy
+        p = copy.deepcopy(jax.tree.map(np.asarray, v_ref['params']))
+        p[stem]['kernel'] = stem_kernel_to_s2d(p[stem]['kernel'])
+        out_ref = ref.apply({'params': v_ref['params'],
+                             'batch_stats': v_ref['batch_stats']}, x,
+                            training=False)
+        out_s2d = s2d.apply({'params': p,
+                             'batch_stats': v_ref['batch_stats']}, x,
+                            training=False)
+        np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_s2d),
+                                   rtol=1e-4, atol=1e-4)

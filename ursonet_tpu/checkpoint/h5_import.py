@@ -155,7 +155,15 @@ def _assign(tree, path, arr) -> bool:
         return False
     cur = node[leaf]
     if tuple(np.shape(cur)) != tuple(np.shape(arr)):
-        return False
+        # Space-to-depth stem: a reference (7,7,C,O) stem kernel maps
+        # exactly onto our (4,4,4C,O) s2d kernel (models/resnet.py).
+        if (np.ndim(arr) == 4 and np.shape(arr)[:2] == (7, 7)
+                and tuple(np.shape(cur)) ==
+                (4, 4, 4 * np.shape(arr)[2], np.shape(arr)[3])):
+            from ursonet_tpu.models.resnet import stem_kernel_to_s2d
+            arr = stem_kernel_to_s2d(np.asarray(arr))
+        else:
+            return False
     node[leaf] = np.asarray(arr, dtype=np.asarray(cur).dtype)
     return True
 

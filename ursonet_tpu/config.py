@@ -88,6 +88,15 @@ class Config:
     # Run augmentation batched on-device (TPU) instead of per-image on host.
     AUGMENT_ON_DEVICE = True
 
+    # --- TPU compute-path optimizations ------------------------------------------
+    # Rewrite the 7x7/2 stem conv as its exact space-to-depth equivalent
+    # (4x4/1 on 2x2-packed input; models/resnet.py:space_to_depth2).
+    # Weight imports remap automatically. Halves the stem in isolation
+    # (11.8ms -> 6.1ms @ 512x640x32 on v5e) but is end-to-end neutral in
+    # the full fused graph there, so it defaults off; flip it on when
+    # profiling shows the stem dominating (small models / other TPU gens).
+    STEM_SPACE_TO_DEPTH = False
+
     # --- precision ---------------------------------------------------------------
     # Reference --f16 flips Keras to float16 (net.py:589-593). On TPU the
     # native fast dtype is bfloat16: F16 selects bf16 compute with f32

@@ -123,7 +123,12 @@ class UrsoNet:
                 lambda r: self.model.init(r, self._sample_images()[:1],
                                           training=False),
                 jax.random.PRNGKey(0)))
+        params = dict(params)
+        aux = params.pop('loss_log_vars', None)
         params = jax.device_put(params, var_sh['params'])
+        if aux is not None:
+            params['loss_log_vars'] = jax.device_put(
+                aux, parallel.replicated(self.mesh))
         if batch_stats is not None and var_sh.get('batch_stats') is not None:
             batch_stats = jax.device_put(batch_stats, var_sh['batch_stats'])
         step = self.state.step if self.state is not None else 0

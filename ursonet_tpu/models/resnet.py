@@ -41,6 +41,43 @@ BN_EPS = 1e-3
 BN_MOMENTUM = 0.99
 
 
+def space_to_depth2(x):
+    """Pack 2×2 spatial blocks into channels: [B,H,W,C] → [B,H/2,W/2,4C],
+    channel order (dy, dx, c).
+
+    TPU stem optimization: the raw 7×7/2 stem conv runs at ~4% MXU
+    utilization (3 input channels vs 128 MXU lanes; measured 6 ms of a
+    22.7 ms ResNet-50 @512×640×32 forward). On s2d-packed input the
+    mathematically identical conv is 4×4/1 over 12 channels
+    (`stem_kernel_to_s2d` maps the weights exactly), recovering most of
+    that time. Standard MLPerf-ResNet TPU practice.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def stem_kernel_to_s2d(kernel):
+    """Exactly rewrite a (7,7,C,O) stride-2 stem kernel as the equivalent
+    (4,4,4C,O) stride-1 kernel on space_to_depth2 input with padding
+    [(2,1),(2,1)]: W'[R,S,(dy·2+dx)·C+c,o] = W[2R+dy−1, 2S+dx−1, c, o]
+    (zero where the source index falls outside [0,7))."""
+    import numpy as np
+    kh, kw, c, o = kernel.shape
+    assert (kh, kw) == (7, 7)
+    out = np.zeros((4, 4, 4 * c, o), np.asarray(kernel).dtype)
+    for r in range(4):
+        for s in range(4):
+            for dy in range(2):
+                for dx in range(2):
+                    u, v = 2 * r + dy - 1, 2 * s + dx - 1
+                    if 0 <= u < 7 and 0 <= v < 7:
+                        out[r, s, (dy * 2 + dx) * c:(dy * 2 + dx + 1) * c] \
+                            = kernel[u, v]
+    return out
+
+
 class FrozenAwareBN(nn.Module):
     """BatchNorm honouring the reference TRAIN_BN semantics (net.py:60-76).
 
@@ -151,19 +188,31 @@ class BasicBlock(nn.Module):
         return nn.relu(y + sc)
 
 
+def _stem_conv(x, features, use_bias, name, dt, s2d: bool):
+    """Stem conv: 7×7/2 with (3,3) pad (reference net.py:170-171), or its
+    exact space-to-depth rewrite (4×4/1 on 2×2-packed input)."""
+    if s2d:
+        y = space_to_depth2(x)
+        return nn.Conv(features, (4, 4), strides=(1, 1),
+                       padding=[(2, 1), (2, 1)], use_bias=use_bias,
+                       name=name, dtype=dt)(y)
+    return _conv(features, 7, 2, [(3, 3), (3, 3)], use_bias, name, dt)(x)
+
+
 class ResNetBackbone(nn.Module):
     """ResNet-50/101 feature extractor; returns C5 (reference
     resnet_graph net.py:161-199 with stage5=True)."""
     architecture: str = 'resnet50'
     train_bn: Any = False
     dtype: Dtype = jnp.float32
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         assert self.architecture in ('resnet50', 'resnet101')
         dt = self.dtype
         # Stage 1: explicit (3,3) pad + VALID 7x7/2 (net.py:170-171)
-        y = _conv(64, 7, 2, [(3, 3), (3, 3)], True, 'conv1', dt)(x)
+        y = _stem_conv(x, 64, True, 'conv1', dt, self.stem_s2d)
         y = FrozenAwareBN(self.train_bn, dt, name='bn_conv1')(y, training)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding='SAME')
@@ -200,12 +249,13 @@ class ResNetShallowBackbone(nn.Module):
     architecture: str = 'resnet18'
     train_bn: Any = False
     dtype: Dtype = jnp.float32
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         assert self.architecture in ('resnet18', 'resnet34')
         dt = self.dtype
-        y = _conv(64, 7, 2, [(3, 3), (3, 3)], False, 'conv0', dt)(x)
+        y = _stem_conv(x, 64, False, 'conv0', dt, self.stem_s2d)
         y = FrozenAwareBN(self.train_bn, dt, name='bn_conv0')(y, training)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding='SAME')
@@ -227,10 +277,12 @@ class ResNetShallowBackbone(nn.Module):
         return y
 
 
-def make_backbone(architecture: str, train_bn, dtype) -> nn.Module:
+def make_backbone(architecture: str, train_bn, dtype,
+                  stem_s2d: bool = False) -> nn.Module:
     if architecture in ('resnet50', 'resnet101'):
-        return ResNetBackbone(architecture, train_bn, dtype, name='backbone')
+        return ResNetBackbone(architecture, train_bn, dtype, stem_s2d,
+                              name='backbone')
     if architecture in ('resnet18', 'resnet34'):
         return ResNetShallowBackbone(architecture, train_bn, dtype,
-                                     name='backbone')
+                                     stem_s2d, name='backbone')
     raise ValueError(f"unsupported backbone {architecture}")

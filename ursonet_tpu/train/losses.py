@@ -73,6 +73,8 @@ def _is_bn_param(path) -> bool:
     names scale/bias, always below a FrozenAwareBN submodule named 'bn'.
     """
     keys = [k.key if hasattr(k, 'key') else str(k) for k in path]
+    if 'loss_log_vars' in keys:  # Kendall log-variances: never regularized
+        return True
     return len(keys) >= 2 and keys[-2] == 'bn'
 
 
@@ -96,13 +98,18 @@ def l2_regularization(params, weight_decay: float, trainable=None):
     return total
 
 
-def compute_losses(outputs, batch, config):
+def compute_losses(outputs, batch, config, log_vars=None):
     """Assemble the weighted loss dict for a batch (reference build +
     compile: net.py:656-669, 993-1000).
 
     outputs: model output dict; batch: dict with 'gt_loc', 'gt_ori' or
     'gt_loc','gt_k1','gt_k2'. Returns (total, dict-of-parts) where parts
     are the *unweighted* named losses (metrics parity, net.py:1019-1028).
+
+    log_vars: optional dict of learnable log-variances sₖ (Kendall-style
+    uncertainty weighting — the reference's experimental
+    LEARNABLE_LOSS_WEIGHTS, net.py:648-654, 708-719):
+    total = Σ exp(−sₖ)·wₖ·Lₖ + sₖ.
     """
     parts = {}
     if config.REGRESS_KEYPOINTS:
@@ -122,5 +129,10 @@ def compute_losses(outputs, batch, config):
 
     total = jnp.asarray(0.0, jnp.float32)
     for name, value in parts.items():
-        total = total + value * config.LOSS_WEIGHTS.get(name, 1.0)
+        w = config.LOSS_WEIGHTS.get(name, 1.0)
+        if log_vars is not None and name in log_vars:
+            s = log_vars[name].astype(jnp.float32)
+            total = total + jnp.exp(-s) * w * value + s
+        else:
+            total = total + value * w
     return total, parts

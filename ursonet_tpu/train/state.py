@@ -94,6 +94,15 @@ def create_train_state(model, config, tx, mesh, rng,
                        training=False))
         params = jax.lax.with_sharding_constraint(
             variables['params'], var_sh['params'])
+        if getattr(config, 'LEARNABLE_LOSS_WEIGHTS', False):
+            # Kendall-style log-variances ride the param tree (stripped
+            # before model.apply in train/step.py).
+            names = (('loc_loss', 'k2_loss', 'k3_loss')
+                     if config.REGRESS_KEYPOINTS
+                     else ('loc_loss', 'ori_loss'))
+            params = dict(params)
+            params['loss_log_vars'] = {
+                n: jnp.zeros([], jnp.float32) for n in names}
         opt_state = tx.init(params)
         return TrainState(
             step=jnp.zeros([], jnp.int32),

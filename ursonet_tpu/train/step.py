@@ -40,7 +40,10 @@ def make_train_step(model, config, tx,
             batch = preprocess(sub, batch)
 
         def loss_fn(params):
-            variables = {'params': params}
+            log_vars = params.get('loss_log_vars')
+            model_params = {k: v for k, v in params.items()
+                            if k != 'loss_log_vars'}
+            variables = {'params': model_params}
             if state.batch_stats is not None:
                 variables['batch_stats'] = state.batch_stats
             if update_bn:
@@ -52,7 +55,8 @@ def make_train_step(model, config, tx,
                 outputs = model.apply(variables, batch['images'],
                                       training=True)
                 new_stats = state.batch_stats
-            total, parts = L.compute_losses(outputs, batch, config)
+            total, parts = L.compute_losses(outputs, batch, config,
+                                            log_vars=log_vars)
             reg = L.l2_regularization(params, config.WEIGHT_DECAY, trainable)
             return total + reg, (parts, reg, new_stats)
 
@@ -81,11 +85,14 @@ def make_eval_step(model, config, preprocess: Optional[Callable] = None):
         if preprocess is not None:
             key, sub = jax.random.split(key)
             batch = preprocess(sub, batch)
-        variables = {'params': state.params}
+        log_vars = state.params.get('loss_log_vars')
+        variables = {'params': {k: v for k, v in state.params.items()
+                                if k != 'loss_log_vars'}}
         if state.batch_stats is not None:
             variables['batch_stats'] = state.batch_stats
         outputs = model.apply(variables, batch['images'], training=False)
-        total, parts = L.compute_losses(outputs, batch, config)
+        total, parts = L.compute_losses(outputs, batch, config,
+                                        log_vars=log_vars)
         metrics = dict(parts)
         metrics['loss'] = total
         return metrics
@@ -99,7 +106,8 @@ def make_predict_fn(model, config):
 
     @partial(jax.jit, static_argnames=())
     def predict(params, batch_stats, images):
-        variables = {'params': params}
+        variables = {'params': {k: v for k, v in params.items()
+                                if k != 'loss_log_vars'}}
         if batch_stats is not None:
             variables['batch_stats'] = batch_stats
         return model.apply(variables, images, training=False)
