@@ -163,6 +163,9 @@ def test_device_preprocess_no_aug_matches_parity(urso_dir):
     import jax
     cfg = small_config(REGRESS_ORI=True, REGRESS_LOC=True, ROT_AUG=False,
                        SIM2REAL_AUG=False)
+    # this test checks the device-preprocess math against the per-image
+    # python path; the native batch loader has its own parity test
+    cfg.NATIVE_LOADER = False
     ds = Urso()
     ds.load_dataset(urso_dir, cfg, "train")
     cfg.AUGMENT_ON_DEVICE = False
@@ -276,3 +279,52 @@ def test_generator_error_tolerance(urso_dir):
     for _ in range(3):
         batch = next(gen)
         assert batch['images'].shape[0] == 2
+
+
+def test_native_loader_matches_python_path(tmp_path):
+    """The C++ batch loader (decode+resize+pad placement) must agree with
+    the PIL/numpy raw path within u8 rounding."""
+    import numpy as np
+    import pytest
+
+    from ursonet_tpu.config import Config
+    from ursonet_tpu.data import loader as L
+    from ursonet_tpu.data import native_loader
+    from ursonet_tpu.data.synthetic import make_urso_dataset
+    from ursonet_tpu.data.urso import Urso
+
+    if not native_loader.available():
+        pytest.skip("native loader not built (no g++/libjpeg/libpng)")
+
+    class Cfg(Config):
+        IMAGE_RESIZE_MODE = 'square'
+        IMAGE_MAX_DIM = 128
+        IMAGE_MIN_DIM = 128
+        IMAGES_PER_GPU = 4
+        ROT_AUG = False
+        AUGMENT_ON_DEVICE = True
+
+    cfg = Cfg()
+    d = tmp_path / 'urso'
+    make_urso_dataset(str(d), subsets=('train',), n_per_subset=4,
+                      width=160, height=120)
+    ds = Urso()
+    ds.load_dataset(str(d), cfg, 'train')
+
+    cfg.NATIVE_LOADER = True
+    gen_n = L.data_generator(ds, cfg, shuffle=False,
+                             batch_size=4, seed=0, raw=True)
+    b_native = next(gen_n)
+    cfg.NATIVE_LOADER = False
+    gen_p = L.data_generator(ds, cfg, shuffle=False,
+                             batch_size=4, seed=0, raw=True)
+    b_py = next(gen_p)
+
+    assert b_native['images_u8'].shape == b_py['images_u8'].shape
+    diff = np.abs(b_native['images_u8'].astype(int) -
+                  b_py['images_u8'].astype(int))
+    # same resampling math; only u8 rounding differs
+    assert diff.max() <= 1, diff.max()
+    np.testing.assert_array_equal(b_native['location'], b_py['location'])
+    np.testing.assert_array_equal(b_native['quaternion'],
+                                  b_py['quaternion'])

@@ -87,6 +87,9 @@ class Config:
     WARP_INTERPOLATION = 'nearest'
     # Run augmentation batched on-device (TPU) instead of per-image on host.
     AUGMENT_ON_DEVICE = True
+    # Use the native C++ threaded decode+resize batch loader when built
+    # (native/host_loader.cpp); falls back to PIL/numpy automatically.
+    NATIVE_LOADER = True
 
     # --- TPU compute-path optimizations ------------------------------------------
     # Rewrite the 7x7/2 stem conv as its exact space-to-depth equivalent

@@ -131,6 +131,65 @@ def data_generator(dataset, config, shuffle=True, batch_size=1,
     error_count = 0
     batch = {}
 
+    # Native fast path: one threaded C++ call decodes + resizes + places
+    # the whole batch (data/native_loader.py). Only for the raw/on-device
+    # pipeline with deterministic geometry (none/square/pad64).
+    native_geom = None
+    if raw and getattr(config, 'NATIVE_LOADER', True) \
+            and config.IMAGE_RESIZE_MODE in ('none', 'square', 'pad64'):
+        from ursonet_tpu.data import native_loader
+        if native_loader.available():
+            probe = np.zeros((dataset.camera.height, dataset.camera.width,
+                              3), np.uint8)
+            resized, window, scale, _, _ = imops.resize_image(
+                probe, min_dim=config.IMAGE_MIN_DIM,
+                min_scale=config.IMAGE_MIN_SCALE,
+                max_dim=config.IMAGE_MAX_DIM,
+                mode=config.IMAGE_RESIZE_MODE)
+            native_geom = {
+                'out_h': resized.shape[0], 'out_w': resized.shape[1],
+                'content_h': int(window[2] - window[0]),
+                'content_w': int(window[3] - window[1]),
+                'top': int(window[0]), 'left': int(window[1]),
+                'meta_window': window, 'scale': scale,
+            }
+
+    if native_geom is not None:
+        g = native_geom
+        orig_shape = (dataset.camera.height, dataset.camera.width, 3)
+        while True:
+            try:
+                ids = []
+                while len(ids) < batch_size:
+                    image_index = (image_index + 1) % len(image_ids)
+                    if shuffle and image_index == 0:
+                        rng.shuffle(image_ids)
+                    ids.append(int(image_ids[image_index]))
+                paths = [dataset.image_info[i]['path'] for i in ids]
+                images = native_loader.load_batch(
+                    paths, g['out_h'], g['out_w'], g['content_h'],
+                    g['content_w'], g['top'], g['left'])
+                batch = {'images_u8': images}
+                samples = [_raw_pose_fields(dataset, config, i)
+                           for i in ids]
+                for k in samples[0]:
+                    batch[k] = np.stack([s[k] for s in samples])
+                batch['image_meta'] = np.stack([
+                    imops.compose_image_meta(
+                        i, orig_shape,
+                        (g['out_h'], g['out_w'], 3),
+                        g['meta_window'], g['scale'])
+                    for i in ids])
+                yield batch
+            except (GeneratorExit, KeyboardInterrupt):
+                raise
+            except Exception:
+                import logging
+                logging.exception("Error in native batch load")
+                error_count += 1
+                if error_count > 5:
+                    raise
+
     while True:
         try:
             image_index = (image_index + 1) % len(image_ids)
@@ -184,23 +243,12 @@ def _load_parity(dataset, config, image_id, rng, dtype):
     }
 
 
-def _load_raw(dataset, config, image_id):
-    """Device-mode host work: decode + resize only; poses raw."""
-    image = dataset.load_image(image_id)
-    original_shape = image.shape
-    image, window, scale, padding, crop = imops.resize_image(
-        image,
-        min_dim=config.IMAGE_MIN_DIM,
-        min_scale=config.IMAGE_MIN_SCALE,
-        max_dim=config.IMAGE_MAX_DIM,
-        mode=config.IMAGE_RESIZE_MODE)
-    meta = imops.compose_image_meta(image_id, original_shape, image.shape,
-                                    window, scale)
+def _raw_pose_fields(dataset, config, image_id):
+    """Pose/GT fields of a raw sample (everything but the image)."""
     sample = {
-        'images_u8': image.astype(np.uint8),
-        'image_meta': meta,
         'location': np.asarray(dataset.load_location(image_id), np.float32),
-        'quaternion': np.asarray(dataset.load_quaternion(image_id), np.float32),
+        'quaternion': np.asarray(dataset.load_quaternion(image_id),
+                                 np.float32),
     }
     if not config.REGRESS_LOC:
         sample['loc_map'] = np.asarray(
@@ -215,6 +263,23 @@ def _load_raw(dataset, config, image_id):
         kps = dataset.load_keypoints(image_id)
         sample['gt_k1'] = np.asarray(kps[0], np.float32).reshape(3)
         sample['gt_k2'] = np.asarray(kps[1], np.float32).reshape(3)
+    return sample
+
+
+def _load_raw(dataset, config, image_id):
+    """Device-mode host work: decode + resize only; poses raw."""
+    image = dataset.load_image(image_id)
+    original_shape = image.shape
+    image, window, scale, padding, crop = imops.resize_image(
+        image,
+        min_dim=config.IMAGE_MIN_DIM,
+        min_scale=config.IMAGE_MIN_SCALE,
+        max_dim=config.IMAGE_MAX_DIM,
+        mode=config.IMAGE_RESIZE_MODE)
+    meta = imops.compose_image_meta(image_id, original_shape, image.shape,
+                                    window, scale)
+    sample = {'images_u8': image.astype(np.uint8), 'image_meta': meta}
+    sample.update(_raw_pose_fields(dataset, config, image_id))
     return sample
 
 
