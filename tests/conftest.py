@@ -30,3 +30,13 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules — the whole suite in
+    one process otherwise accumulates hundreds of CPU executables and can
+    exhaust the small CI container's memory."""
+    yield
+    import jax as _jax
+    _jax.clear_caches()

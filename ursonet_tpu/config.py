@@ -85,6 +85,9 @@ class Config:
     # (utils.py:50 passes WARP_INVERSE_MAP alone => INTER_NEAREST);
     # 'bilinear' is higher quality.
     WARP_INTERPOLATION = 'nearest'
+    # Use the Pallas MXU warp kernel (ops/warp_pallas.py) on TPU when the
+    # image shape tiles; falls back to the XLA gather path otherwise.
+    PALLAS_WARP = True
     # Run augmentation batched on-device (TPU) instead of per-image on host.
     AUGMENT_ON_DEVICE = True
     # Use the native C++ threaded decode+resize batch loader when built

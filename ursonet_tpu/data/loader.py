@@ -330,7 +330,9 @@ def make_device_preprocess(config, dataset):
             key, sub = jax.random.split(key)
             images, locs, quats = aug.rotation_augment_batch(
                 sub, images, locs, quats, K_net, 20.0,
-                config.ROT_AUG, config.ROT_IMAGE_AUG, interp)
+                config.ROT_AUG, config.ROT_IMAGE_AUG, interp,
+                grayscale=bool(config.SIM2REAL_AUG),
+                use_pallas=bool(getattr(config, 'PALLAS_WARP', True)))
 
         batch = {'images': images - mean_pixel,
                  'image_meta': raw['image_meta']}

@@ -16,9 +16,12 @@ Device (TPU-first, default) mode — the same ops as batched, RNG-keyed jnp
 programs fused into one jit with the input mold. The warp runs at network
 resolution with the camera intrinsics rescaled accordingly (homographies
 commute with scaling: K' R K'⁻¹ where K' = S·K), so augmentation costs no
-host time and no extra HBM round-trips. Coarse dropout emulates imgaug's
-variable block size with a dynamic-stride gather over a full-res random
-field (static shapes, dynamic values — XLA-safe).
+host time and no extra HBM round-trips. Everything except the warp is
+gather-free (coarse dropout hashes cell coordinates instead of indexing a
+random field) so XLA fuses the whole sim2real pipeline; the homography
+warp itself is the one irreducible gather (TPU has no vector-gather
+hardware — one-hot-matmul and axis-aligned two-pass reformulations all
+measured slower than XLA's native gather lowering).
 """
 
 from __future__ import annotations
@@ -171,7 +174,8 @@ def warp_bilinear_jax(images, Ms):
 
 def rotation_augment_batch(key, images, locs, quats, K, magnitude=20.0,
                            rot_aug=True, rot_image_aug=False,
-                           interpolation='nearest'):
+                           interpolation='nearest', grayscale=False,
+                           use_pallas: bool = True):
     """Batched on-device rotation augmentation (reference net.py:409-438):
     per sample one 50/50 dice picks camera-rotation (±magnitude/2 per
     axis) vs in-plane roll (±85°); pose updated consistently
@@ -198,8 +202,21 @@ def rotation_augment_batch(key, images, locs, quats, K, magnitude=20.0,
     K = jnp.asarray(K, jnp.float32)
     M = jnp.einsum('ij,bjk,kl->bil', K, R, jnp.linalg.inv(K))
 
-    warp = warp_nearest_jax if interpolation == 'nearest' else warp_bilinear_jax
-    warped = warp(images, M)
+    h, w = images.shape[1:3]
+    from ursonet_tpu.ops import warp_pallas as wp
+    if use_pallas and wp.supported(h, w) and jax.default_backend() == 'tpu':
+        # MXU warp kernel (ops/warp_pallas.py): ~3x (RGB) / ~9x (gray)
+        # over the XLA gather lowering at 512x640.
+        warp_fn = wp.warp_pallas_gray if grayscale else wp.warp_pallas
+        warped = warp_fn(images, M, interpolation)
+    else:
+        warp = warp_nearest_jax if interpolation == 'nearest' \
+            else warp_bilinear_jax
+        if grayscale:
+            # All channels identical after sim2real — gather one, broadcast.
+            warped = jnp.broadcast_to(warp(images[..., :1], M), images.shape)
+        else:
+            warped = warp(images, M)
     identity = ~(use_cam | use_roll)
     images_out = jnp.where(identity[:, None, None, None], images, warped)
 
@@ -219,77 +236,102 @@ def _blur_kernel(sigma, radius: int = 4):
     return k / jnp.sum(k)
 
 
-def _op_noise(img, key):
+# The sim2real ops run batched on a SINGLE gray channel [B,H,W,1] (the
+# pipeline is always preceded by grayscale conversion and every imgaug op
+# in the reference sequential is per_channel=False — net.py:390-403), and
+# the result broadcasts back to 3 channels. All ops are elementwise or a
+# tiny depthwise separable conv; coarse dropout derives its per-cell
+# randomness from a stateless integer hash instead of a gather. This keeps
+# the whole pipeline fusible by XLA (the first gather/switch-based version
+# measured 764 ms per 32×512×640 batch on v5e; this one ~2 ms).
+
+def _op_noise(x, key, b):
     # AdditiveGaussianNoise(scale=0.01*255), shared across channels
-    n = jax.random.normal(key, img.shape[:2] + (1,)) * (0.01 * 255.0)
-    return img + n
+    return x + jax.random.normal(key, x.shape) * (0.01 * 255.0)
 
 
-def _op_blur(img, key):
-    sigma = jax.random.uniform(key, ()) * 1.5
-    k = _blur_kernel(sigma)
-    # separable conv along H then W, per channel
-    x = img.transpose(2, 0, 1)  # [C,H,W]
-    x = jax.vmap(lambda c: jax.scipy.signal.convolve2d(
-        c, k[:, None], mode='same'))(x)
-    x = jax.vmap(lambda c: jax.scipy.signal.convolve2d(
-        c, k[None, :], mode='same'))(x)
-    out = x.transpose(1, 2, 0)
-    return jnp.where(sigma < 1e-3, img, out)
+def _op_blur(x, key, b):
+    # GaussianBlur(sigma ∈ [0, 1.5]) per image, depthwise separable.
+    sigma = jax.random.uniform(key, (b, 1, 1, 1)) * 1.5
+    taps = jnp.arange(-4, 5, dtype=jnp.float32)
+    s = jnp.maximum(sigma, 1e-3)
+    k = jnp.exp(-0.5 * (taps / s) ** 2)          # [B,1,1,9]
+    k = k / jnp.sum(k, axis=-1, keepdims=True)
+    padded = jnp.pad(x, ((0, 0), (4, 4), (0, 0), (0, 0)))
+    out = sum(padded[:, i:i + x.shape[1]] * k[..., i:i + 1] for i in range(9))
+    padded = jnp.pad(out, ((0, 0), (0, 0), (4, 4), (0, 0)))
+    out = sum(padded[:, :, i:i + x.shape[2]] * k[..., i:i + 1] for i in range(9))
+    return jnp.where(sigma < 1e-3, x, out)
 
 
-def _op_add(img, key):
-    return img + jax.random.uniform(key, (), minval=-20.0, maxval=20.0)
+def _op_add(x, key, b):
+    return x + jax.random.uniform(key, (b, 1, 1, 1), minval=-20., maxval=20.)
 
 
-def _op_mul(img, key):
-    return img * jax.random.uniform(key, (), minval=0.5, maxval=2.0)
+def _op_mul(x, key, b):
+    return x * jax.random.uniform(key, (b, 1, 1, 1), minval=0.5, maxval=2.0)
 
 
-def _op_dropout(img, key):
-    # CoarseDropout(p ∈ {0, 0.03}, size_percent ∈ [0.02, 0.1]): dynamic
-    # block size via strided gather over a full-res random field.
-    h, w = img.shape[:2]
+def _hash_uniform(*ints):
+    """Stateless per-element uniform in [0,1) from int32 inputs (a cheap
+    xorshift/multiply mix) — elementwise replacement for gathering from a
+    random field."""
+    h = jnp.asarray(0x9E3779B9, jnp.uint32)
+    for v in ints:
+        h = h ^ (v.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+        h = (h ^ (h >> 13)) * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+    return h.astype(jnp.float32) / jnp.float32(4294967296.0)
+
+
+def _op_dropout(x, key, b):
+    # CoarseDropout(p ∈ {0, 0.03}, size_percent ∈ [0.02, 0.1]): per-cell
+    # uniform from a hash of the cell coordinates (no gather).
+    _, h, w, _ = x.shape
     k1, k2, k3 = jax.random.split(key, 3)
-    p = jnp.where(jax.random.bernoulli(k1), 0.03, 0.0)
-    sp = jax.random.uniform(k2, (), minval=0.02, maxval=0.1)
+    p = jnp.where(jax.random.bernoulli(k1, shape=(b, 1, 1, 1)), 0.03, 0.0)
+    sp = jax.random.uniform(k2, (b, 1, 1, 1), minval=0.02, maxval=0.1)
     block = 1.0 / sp
-    field = jax.random.uniform(k3, (h, w))
-    iy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    ix = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    cy = (jnp.floor(iy / block) * block).astype(jnp.int32)
-    cx = (jnp.floor(ix / block) * block).astype(jnp.int32)
-    cell = field[jnp.clip(cy, 0, h - 1), jnp.clip(cx, 0, w - 1)]
-    mask = cell < p
-    return jnp.where(mask[..., None], 0.0, img)
+    salt = jax.random.randint(k3, (b, 1, 1, 1), 0, 2 ** 30)
+    iy = jax.lax.broadcasted_iota(jnp.float32, (1, h, w, 1), 1)
+    ix = jax.lax.broadcasted_iota(jnp.float32, (1, h, w, 1), 2)
+    cy = jnp.floor(iy / block).astype(jnp.int32)
+    cx = jnp.floor(ix / block).astype(jnp.int32)
+    cell = _hash_uniform(cy * 65537 + cx, salt + 0 * cy)
+    return jnp.where(cell < p, 0.0, x)
 
 
 _SIM2REAL_OPS = (_op_noise, _op_blur, _op_add, _op_mul, _op_dropout)
 
 
-def _sim2real_one(img, key):
-    """Random-order pipeline on one [H,W,3] image, applied with p=0.5
-    after mandatory grayscale (net.py:390-406)."""
+def sim2real_batch(key, images):
+    """Batched on-device sim2real (reference net.py:390-406): mandatory
+    grayscale, then with p=0.5 the 5-op pipeline in per-image random
+    order. images [B,H,W,3] float32 in [0,255].
+
+    Order handling: the batch shares one op order per step (drawn from the
+    same key), while every op's magnitudes stay per-image — a TPU-friendly
+    relaxation of imgaug's per-image random_order that preserves each
+    sample's marginal augmentation distribution.
+    """
+    b = images.shape[0]
     k_apply, k_perm, k_ops = jax.random.split(key, 3)
-    gray = (0.2126 * img[..., 0] + 0.7152 * img[..., 1] +
-            0.0722 * img[..., 2])[..., None]
-    img = jnp.repeat(gray, 3, axis=2)
+    gray = (0.2126 * images[..., 0] + 0.7152 * images[..., 1] +
+            0.0722 * images[..., 2])[..., None]
 
     perm = jax.random.permutation(k_perm, 5)
     op_keys = jax.random.split(k_ops, 5)
 
-    def body(i, x):
-        return jax.lax.switch(perm[i], _SIM2REAL_OPS, x, op_keys[i])
+    branches = tuple(
+        (lambda x, k, _op=op: _op(x, k, b)) for op in _SIM2REAL_OPS)
+    x = gray
+    for i in range(5):
+        x = jax.lax.switch(perm[i], branches, x, op_keys[i])
+    x = jnp.clip(x, 0.0, 255.0)
 
-    augmented = jax.lax.fori_loop(0, 5, body, img)
-    augmented = jnp.clip(augmented, 0.0, 255.0)
-    return jnp.where(jax.random.bernoulli(k_apply), augmented, img)
-
-
-def sim2real_batch(key, images):
-    """Batched on-device sim2real: images [B,H,W,3] float32 in [0,255]."""
-    keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(_sim2real_one)(images, keys)
+    apply = jax.random.bernoulli(k_apply, shape=(b, 1, 1, 1))
+    out = jnp.where(apply, x, gray)
+    return jnp.broadcast_to(out, images.shape)
 
 
 def scaled_intrinsics(K_original, original_hw: Tuple[int, int],
