@@ -172,3 +172,33 @@ def test_h5_import_by_name(tmp_path):
 
     excl, _, rep2 = load_keras_h5(path, params, stats, exclude=[r'conv0'])
     assert any('conv0/kernel' in e for e in rep2['excluded'])
+
+
+def test_orbax_checkpoint_roundtrip(urso_dir, tmp_path):
+    """CHECKPOINT_FORMAT='orbax': per-epoch directory snapshots are
+    discovered by find_last and restore identically; exact resume works."""
+    cfg = TinyConfig()
+    cfg.CHECKPOINT_FORMAT = 'orbax'
+    model_dir = str(tmp_path / 'logs')
+    train_ds = _load(urso_dir, cfg, 'train')
+
+    engine = UrsoNet('training', cfg, model_dir)
+    engine.initialize()
+    engine.train(train_ds, None, cfg.LEARNING_RATE, epochs=1,
+                 layers='all', log_fn=lambda *a: None)
+    snaps = glob.glob(os.path.join(engine.log_dir, 'weights_*.orbax'))
+    assert len(snaps) == 1 and os.path.isdir(snaps[0])
+
+    engine2 = UrsoNet('training', cfg, model_dir)
+    last = engine2.find_last()
+    assert last.endswith('.orbax')
+    engine2.load_weights(last)
+    assert engine2.epoch == 1
+    p1 = np.asarray(engine.state.params['bottleneck_layer']['kernel'])
+    p2 = np.asarray(engine2.state.params['bottleneck_layer']['kernel'])
+    np.testing.assert_array_equal(p1, p2)
+
+    engine3 = UrsoNet('training', cfg, model_dir)
+    engine3.initialize()
+    assert engine3.resume_state(engine.log_dir)
+    assert int(engine3.state.step) == int(engine.state.step)

@@ -36,8 +36,8 @@ WEIGHTS_EXT = '.msgpack'
 
 def set_log_dir(model_dir: str, name: str,
                 weights_path: Optional[str] = None,
-                now: Optional[datetime.datetime] = None
-                ) -> Tuple[str, str, int]:
+                now: Optional[datetime.datetime] = None,
+                ext: str = WEIGHTS_EXT) -> Tuple[str, str, int]:
     """Compute (log_dir, checkpoint_template, epoch0).
 
     When resuming from a snapshot path, reuse its run dir and parse the
@@ -48,7 +48,7 @@ def set_log_dir(model_dir: str, name: str,
     if weights_path:
         m = re.match(
             r".*[/\\][\w\-]+(\d{4}T\d{4})[/\\]weights\_[\w\-]+\_(\d{4})\."
-            r"(h5|msgpack)", weights_path)
+            r"(h5|msgpack|orbax)", weights_path)
         if m:
             log_dir = os.path.dirname(weights_path)
             epoch = int(m.group(2)) + 1
@@ -58,7 +58,7 @@ def set_log_dir(model_dir: str, name: str,
     else:
         log_dir = os.path.join(model_dir, f"{name.lower()}{now:%Y%m%dT%H%M}")
     template = os.path.join(
-        log_dir, f"weights_{name.lower()}_*epoch*{WEIGHTS_EXT}")
+        log_dir, f"weights_{name.lower()}_*epoch*{ext}")
     return log_dir, template, epoch
 
 
@@ -76,11 +76,13 @@ def _run_dirs(model_dir: str, name_prefix: Optional[str] = None):
 
 
 def latest_in_dir(run_dir: str) -> Optional[str]:
-    """Newest weight snapshot inside one run dir."""
+    """Newest weight snapshot inside one run dir (msgpack files or orbax
+    directories)."""
     if not os.path.isdir(run_dir):
         return None
     cands = sorted(f for f in os.listdir(run_dir)
-                   if f.startswith("weights_") and f.endswith(WEIGHTS_EXT))
+                   if f.startswith("weights_")
+                   and (f.endswith(WEIGHTS_EXT) or f.endswith('.orbax')))
     return os.path.join(run_dir, cands[-1]) if cands else None
 
 

@@ -75,11 +75,17 @@ class UrsoNet:
 
     # -- bookkeeping ---------------------------------------------------------
 
+    @property
+    def _orbax(self) -> bool:
+        return getattr(self.config, 'CHECKPOINT_FORMAT',
+                       'msgpack') == 'orbax'
+
     def set_log_dir(self, weights_path: Optional[str] = None):
         """Run-dir + checkpoint template + epoch counter
         (reference net.py:944-967)."""
+        ext = '.orbax' if self._orbax else '.msgpack'
         self.log_dir, self.checkpoint_path, self.epoch = ckpt.set_log_dir(
-            self.model_dir, self.config.NAME, weights_path)
+            self.model_dir, self.config.NAME, weights_path, ext=ext)
 
     def find_last(self) -> str:
         return ckpt.find_last(self.model_dir)
@@ -101,7 +107,11 @@ class UrsoNet:
                 jax.device_get(self.state.batch_stats),
                 exclude=exclude, verbose=verbose)
         else:
-            tree = ckpt.load_weights_file(path)
+            if path.endswith('.orbax'):
+                from ursonet_tpu.checkpoint import orbax_store
+                tree = orbax_store.load_weights_dir(path)
+            else:
+                tree = ckpt.load_weights_file(path)
             params, loaded, skipped = ckpt.merge_params(
                 jax.device_get(self.state.params), tree['params'], exclude)
             batch_stats = self.state.batch_stats
@@ -136,17 +146,27 @@ class UrsoNet:
                                        step=int(step))
 
     def save_weights(self, path: str):
-        ckpt.save_weights_file(path, self.state.params,
-                               self.state.batch_stats)
+        if path.endswith('.orbax'):
+            from ursonet_tpu.checkpoint import orbax_store
+            orbax_store.save_weights_dir(path, self.state.params,
+                                         self.state.batch_stats)
+        else:
+            ckpt.save_weights_file(path, self.state.params,
+                                   self.state.batch_stats)
 
     def resume_state(self, run_dir: Optional[str] = None) -> bool:
         """Exact-resume from `state_latest.msgpack` if present (improves on
         the reference's weights-only resume). Returns True on success."""
         run_dir = run_dir or self.log_dir
-        path = os.path.join(run_dir, 'state_latest.msgpack')
-        if not os.path.exists(path):
-            return False
-        tree = ckpt.load_state(path)
+        path = os.path.join(run_dir, 'state_latest.orbax')
+        if os.path.exists(path):
+            from ursonet_tpu.checkpoint import orbax_store
+            tree = orbax_store.load_state_dir(path)
+        else:
+            path = os.path.join(run_dir, 'state_latest.msgpack')
+            if not os.path.exists(path):
+                return False
+            tree = ckpt.load_state(path)
         if self.state is None:
             self.initialize()
         from flax import serialization
@@ -243,12 +263,17 @@ class UrsoNet:
                 log_fn(f"epoch {epoch}: " + " ".join(
                     f"{k}={v}" for k, v in record.items() if k != 'epoch'))
 
-                ckpt.save_weights_file(
-                    ckpt.checkpoint_epoch(self.checkpoint_path, epoch),
-                    self.state.params, self.state.batch_stats)
-                ckpt.save_state(
-                    os.path.join(self.log_dir, 'state_latest.msgpack'),
-                    self.state, epoch + 1)
+                self.save_weights(
+                    ckpt.checkpoint_epoch(self.checkpoint_path, epoch))
+                if self._orbax:
+                    from ursonet_tpu.checkpoint import orbax_store
+                    orbax_store.save_state_dir(
+                        os.path.join(self.log_dir, 'state_latest.orbax'),
+                        self.state, epoch + 1)
+                else:
+                    ckpt.save_state(
+                        os.path.join(self.log_dir, 'state_latest.msgpack'),
+                        self.state, epoch + 1)
                 self.epoch = epoch + 1
                 last_means = {**means, **val_means}
         return last_means
