@@ -123,6 +123,9 @@ class Config:
     TRAIN_BN = False
 
     # --- misc -------------------------------------------------------------------
+    # Per-step scalar logging to metrics.jsonl every N steps (0 = per-epoch
+    # only) — the reference BatchLogger equivalent (net.py:1106-1115).
+    LOG_EVERY_STEPS = 0
     SEED = 0
     CHECKPOINT_FORMAT = 'msgpack'   # msgpack | orbax
     DEBUG_NANS = False

@@ -225,6 +225,7 @@ class UrsoNet:
         key = jax.random.PRNGKey(cfg.SEED)
         last_means = {}
 
+        log_every = int(getattr(cfg, 'LOG_EVERY_STEPS', 0) or 0)
         with self.mesh:
             for epoch in range(self.epoch, epochs):
                 t0 = time.time()
@@ -236,6 +237,14 @@ class UrsoNet:
                     n += 1
                     for k, v in metrics.items():
                         sums[k] = sums.get(k, 0.0) + float(v)
+                    if log_every and n % log_every == 0:
+                        # per-batch scalar logging (reference BatchLogger,
+                        # net.py:1106-1115)
+                        with open(metrics_path, 'a') as f:
+                            f.write(json.dumps(
+                                {'step': int(self.state.step),
+                                 **{k: round(float(v), 6)
+                                    for k, v in metrics.items()}}) + '\n')
                 means = {k: v / n for k, v in sums.items()}
 
                 val_means = {}
