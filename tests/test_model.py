@@ -181,3 +181,47 @@ def test_image_shape_validation():
     cfg.update()
     with pytest.raises(ValueError):
         build_model(cfg)
+
+
+def test_remat_matches_no_remat_grads():
+    """REMAT recomputes activations but must give identical loss/grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from ursonet_tpu.config import Config
+    from ursonet_tpu.models.ursonet import build_model
+
+    class Cfg(Config):
+        BACKBONE = 'resnet18'
+        BOTTLENECK_WIDTH = 8
+        BRANCH_SIZE = 16
+        IMAGE_RESIZE_MODE = 'square'
+        IMAGE_MAX_DIM = 64
+        IMAGE_MIN_DIM = 64
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3),
+                    jnp.float32)
+
+    def loss_of(remat):
+        cfg = Cfg()
+        cfg.REMAT = remat
+        cfg.update()
+        model = build_model(cfg)
+        import flax.linen as nn
+        v = nn.unbox(model.init(jax.random.PRNGKey(0), x, training=False))
+
+        def loss_fn(params):
+            out = model.apply({'params': params,
+                               'batch_stats': v['batch_stats']}, x,
+                              training=True)
+            return jnp.sum(out['loc'] ** 2) + jnp.sum(out['ori'] ** 2)
+
+        val, grads = jax.value_and_grad(loss_fn)(v['params'])
+        return float(val), grads
+
+    v0, g0 = loss_of(False)
+    v1, g1 = loss_of(True)
+    assert v0 == pytest.approx(v1, rel=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

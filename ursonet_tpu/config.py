@@ -103,6 +103,11 @@ class Config:
     # profiling shows the stem dominating (small models / other TPU gens).
     STEM_SPACE_TO_DEPTH = False
 
+    # Rematerialize residual blocks in the backward pass (jax.checkpoint):
+    # ~30% more FLOPs for a large cut in activation HBM — enables bigger
+    # per-chip batches at high resolution.
+    REMAT = False
+
     # --- precision ---------------------------------------------------------------
     # Reference --f16 flips Keras to float16 (net.py:589-593). On TPU the
     # native fast dtype is bfloat16: F16 selects bf16 compute with f32

@@ -206,6 +206,7 @@ class ResNetBackbone(nn.Module):
     train_bn: Any = False
     dtype: Dtype = jnp.float32
     stem_s2d: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -217,8 +218,14 @@ class ResNetBackbone(nn.Module):
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding='SAME')
 
+        # remat: recompute each residual block in the backward pass
+        # instead of keeping its activations — trades ~30% FLOPs for the
+        # HBM that large batches at 512×640 need.
+        Block = nn.remat(BottleneckBlock, static_argnums=(2,)) \
+            if self.remat else BottleneckBlock
+
         def blk(y, filters, stage, block, strides=1, conv_shortcut=False):
-            return BottleneckBlock(
+            return Block(
                 filters, stage, block, strides, conv_shortcut,
                 train_bn=self.train_bn, dtype=dt,
                 name=f'res{stage}{block}')(y, training)
@@ -250,6 +257,7 @@ class ResNetShallowBackbone(nn.Module):
     train_bn: Any = False
     dtype: Dtype = jnp.float32
     stem_s2d: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -260,6 +268,8 @@ class ResNetShallowBackbone(nn.Module):
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding='SAME')
 
+        Block = nn.remat(BasicBlock, static_argnums=(2,)) \
+            if self.remat else BasicBlock
         reps = [2, 2, 2, 2] if self.architecture == 'resnet18' else [3, 4, 6, 3]
         for stage, rep in enumerate(reps):
             for block in range(rep):
@@ -270,7 +280,7 @@ class ResNetShallowBackbone(nn.Module):
                     strides, cut = 2, 'post'
                 else:
                     strides, cut = 1, 'pre'
-                y = BasicBlock(
+                y = Block(
                     filters, stage, block, strides, cut,
                     train_bn=self.train_bn, dtype=dt,
                     name=f'stage{stage + 1}_unit{block + 1}')(y, training)
@@ -278,11 +288,12 @@ class ResNetShallowBackbone(nn.Module):
 
 
 def make_backbone(architecture: str, train_bn, dtype,
-                  stem_s2d: bool = False) -> nn.Module:
+                  stem_s2d: bool = False,
+                  remat: bool = False) -> nn.Module:
     if architecture in ('resnet50', 'resnet101'):
         return ResNetBackbone(architecture, train_bn, dtype, stem_s2d,
-                              name='backbone')
+                              remat, name='backbone')
     if architecture in ('resnet18', 'resnet34'):
         return ResNetShallowBackbone(architecture, train_bn, dtype,
-                                     stem_s2d, name='backbone')
+                                     stem_s2d, remat, name='backbone')
     raise ValueError(f"unsupported backbone {architecture}")

@@ -38,12 +38,13 @@ class UrsoNetModule(nn.Module):
     train_bn: Any = False
     dtype: Any = jnp.float32
     stem_s2d: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images, training: bool = False) -> Dict[str, jnp.ndarray]:
         x = images.astype(self.dtype)
         c5 = make_backbone(self.backbone, self.train_bn, self.dtype,
-                           self.stem_s2d)(x, training)
+                           self.stem_s2d, self.remat)(x, training)
         c6 = nn.Conv(self.bottleneck_width, (3, 3), strides=(2, 2),
                      padding='SAME', name='bottleneck_layer',
                      dtype=self.dtype)(c5)
@@ -104,4 +105,5 @@ def build_model(config) -> UrsoNetModule:
         train_bn=config.TRAIN_BN,
         dtype=config.compute_dtype,
         stem_s2d=bool(getattr(config, 'STEM_SPACE_TO_DEPTH', False)),
+        remat=bool(getattr(config, 'REMAT', False)),
     )
