@@ -49,8 +49,12 @@ def main():
     config.update()
 
     model = build_model(config)
-    images = jnp.asarray(
-        np.random.RandomState(0).rand(batch, h, w, 3).astype(np.float32))
+    # Generate the input on device: a [batch,H,W,3] f32 host transfer
+    # through the (possibly remote) device link would dominate setup and
+    # caps the feasible batch size.
+    images = jax.jit(
+        lambda k: jax.random.uniform(k, (batch, h, w, 3), jnp.float32)
+    )(jax.random.PRNGKey(0))
 
     import flax.linen as nn
     variables = nn.unbox(

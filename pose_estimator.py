@@ -97,7 +97,10 @@ def make_config(args):
     from ursonet_tpu.data import speed as speed_mod
     from ursonet_tpu.data import urso as urso_mod
 
-    assert args.ori_param in ORIENTATION_PARAM_OPTIONS
+    if args.ori_param not in ORIENTATION_PARAM_OPTIONS:
+        raise SystemExit(
+            f"--ori_param must be one of {sorted(ORIENTATION_PARAM_OPTIONS)}"
+            f", got '{args.ori_param}'")
 
     config = Config()
     config.ORIENTATION_PARAM = args.ori_param

@@ -130,3 +130,53 @@ def test_split_and_merge_speed(tmp_path):
     assert total == 10
     with open(d / 'merged.json') as f:
         assert len(json.load(f)) == 10
+
+
+def test_cli_train_keypoints_and_angleaxis(urso_env):
+    """Keypoint mode (experimental head + SVD decode) and angle-axis
+    regression both train and evaluate through the CLI."""
+    rc = pose_estimator.main(_args(
+        urso_env, 'train', '--weights', 'none', '--epochs', '1',
+        '--batch_size', '2', '--steps_per_epoch', '2',
+        '--regress_keypoints'))
+    assert rc == 0
+    rc = pose_estimator.main(_args(
+        urso_env, 'evaluate', '--weights', 'last', '--regress_keypoints'))
+    assert rc == 0
+
+    rc = pose_estimator.main(_args(
+        urso_env, 'train', '--weights', 'none', '--epochs', '1',
+        '--batch_size', '2', '--steps_per_epoch', '2',
+        '--ori_param', 'angle_axis'))
+    assert rc == 0
+    rc = pose_estimator.main(_args(
+        urso_env, 'evaluate', '--weights', 'last',
+        '--ori_param', 'angle_axis'))
+    assert rc == 0
+
+
+def test_cli_classification_mode_train_eval(urso_env):
+    """Soft-classification modes end to end. First: orientation
+    classification + location regression with rot_aug (exercises the
+    on-device PMF re-encode after the warp); then full classification
+    (both heads; rotation aug requires REGRESS_LOC — reference
+    net.py:410-411 — so no rot_aug there)."""
+    rc = pose_estimator.main(_args(
+        urso_env, 'train', '--weights', 'none', '--epochs', '1',
+        '--batch_size', '2', '--steps_per_epoch', '2',
+        '--classify_ori', '--ori_resolution', '8', '--rot_aug'))
+    assert rc == 0
+    rc = pose_estimator.main(_args(
+        urso_env, 'evaluate', '--weights', 'last',
+        '--classify_ori', '--ori_resolution', '8'))
+    assert rc == 0
+
+    rc = pose_estimator.main(_args(
+        urso_env, 'train', '--weights', 'none', '--epochs', '1',
+        '--batch_size', '2', '--steps_per_epoch', '2',
+        '--classify_ori', '--classify_loc', '--ori_resolution', '8'))
+    assert rc == 0
+    rc = pose_estimator.main(_args(
+        urso_env, 'evaluate', '--weights', 'last',
+        '--classify_ori', '--classify_loc', '--ori_resolution', '8'))
+    assert rc == 0

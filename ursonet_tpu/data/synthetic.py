@@ -41,16 +41,25 @@ def _render_pose(q, loc_cam, width, height, K):
     img[..., 2] = np.linspace(30, 5, height, dtype=np.uint8)[:, None]
 
     R = se3.quat2SO3(q)
-    pts = (_CUBE * 1.5) @ R.T + loc_cam
+    # Asymmetric body: cube + antenna along +z and a nose point along +y,
+    # with a distinct color per edge — breaks the cube's rotational
+    # symmetry so orientation is identifiable from a single view.
+    body = np.concatenate([_CUBE * 1.5,
+                           [[0, 0, 3.0], [0, 2.4, 0]]], axis=0)
+    pts = body @ np.asarray(R).T + loc_cam
     pts = pts[:, :2] / pts[:, 2:3]
     uv = (K[:2, :2] @ pts.T).T + K[:2, 2]
     uv = uv.astype(int)
+    rngc = np.random.RandomState(7)
+    colors = [tuple(int(v) for v in rngc.randint(90, 255, 3))
+              for _ in range(len(_EDGES) + 2)]
     try:
         import cv2
-        for a, b in _EDGES:
-            cv2.line(img, tuple(uv[a]), tuple(uv[b]), (220, 220, 200), 2)
-        c = uv.mean(0).astype(int)
-        cv2.circle(img, tuple(c), 4, (255, 80, 80), -1)
+        for k, (a, b) in enumerate(_EDGES):
+            cv2.line(img, tuple(uv[a]), tuple(uv[b]), colors[k], 2)
+        cv2.line(img, tuple(uv[6]), tuple(uv[8]), (255, 255, 255), 3)
+        cv2.line(img, tuple(uv[2]), tuple(uv[9]), (255, 60, 60), 3)
+        cv2.circle(img, tuple(uv[8]), 5, (80, 255, 80), -1)
     except Exception:  # pragma: no cover - cv2 always present in this env
         for a, b in _EDGES:
             ya, xa = np.clip(uv[a][1], 0, height - 1), np.clip(uv[a][0], 0, width - 1)

@@ -19,14 +19,14 @@ commute with scaling: K' R K'⁻¹ where K' = S·K), so augmentation costs no
 host time and no extra HBM round-trips. Everything except the warp is
 gather-free (coarse dropout hashes cell coordinates instead of indexing a
 random field) so XLA fuses the whole sim2real pipeline; the homography
-warp itself is the one irreducible gather (TPU has no vector-gather
-hardware — one-hot-matmul and axis-aligned two-pass reformulations all
-measured slower than XLA's native gather lowering).
+warp — the one irreducible gather, which XLA lowers serially (TPU has no
+vector-gather hardware) — runs as the Pallas MXU kernel in
+ops/warp_pallas.py on TPU, with the XLA gather kept as the portable
+fallback.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -38,7 +38,7 @@ def get_flops(fn, *args, **kwargs) -> float:
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, host_tracer_level: int = 2):
+def trace(log_dir: str):
     """Capture a device trace viewable in TensorBoard/XProf:
 
         with profiling.trace('/tmp/trace'):
