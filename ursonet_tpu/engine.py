@@ -287,6 +287,25 @@ class UrsoNet:
                 last_means = {**means, **val_means}
         return last_means
 
+    # -- introspection ---------------------------------------------------------
+
+    def summary(self, log_fn=print) -> dict:
+        """Per-top-module parameter counts + totals (the reference's layer
+        printout / get_trainable_layers introspection, net.py:1298-1308)."""
+        if self.state is None:
+            self.initialize()
+        import numpy as np
+        counts = {}
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+                self.state.params):
+            top = str(getattr(path[0], 'key', path[0]))
+            counts[top] = counts.get(top, 0) + int(np.prod(np.shape(leaf)))
+        total = sum(counts.values())
+        for k in sorted(counts):
+            log_fn(f"{k:20} {counts[k]:>14,}")
+        log_fn(f"{'total':20} {total:>14,}")
+        return {'per_module': counts, 'total': total}
+
     # -- inference -----------------------------------------------------------
 
     def mold_inputs(self, images: Sequence[np.ndarray]):
