@@ -16,4 +16,16 @@ from ursonet_tpu.config import Config
 
 __version__ = "0.1.0"
 
-__all__ = ["Config", "__version__"]
+__all__ = ["Config", "UrsoNet", "evaluate", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy top-level API (keeps `import ursonet_tpu` cheap — jax/flax load
+    # only when the engine or evaluation entry points are touched).
+    if name == "UrsoNet":
+        from ursonet_tpu.engine import UrsoNet
+        return UrsoNet
+    if name == "evaluate":
+        from ursonet_tpu import evaluate
+        return evaluate
+    raise AttributeError(name)

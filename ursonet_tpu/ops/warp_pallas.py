@@ -53,11 +53,14 @@ SY, SX = 144, 384
 SXE = SX
 
 
-def _kernel(m_ref, src_ref, out_ref, t_vmem, sem, *, h, w, c,
+def _kernel(m_ref, src_ref, out_ref, t_vmem, sems, *, h, w, c,
             interpolation):
+    """One program warps a full [H, TX] output column strip: the y-blocks
+    are looped inside with double-buffered source DMAs (start block k+1's
+    copy before computing block k), hiding the DMA latency that dominated
+    the one-block-per-program variant."""
     g0 = pl.program_id(0)          # image*channel index
-    i = pl.program_id(1)           # output row block
-    j = pl.program_id(2)           # output col block
+    j = pl.program_id(1)           # output col block
 
     img = g0 // c if c > 1 else g0
     m00 = m_ref[img, 0, 0]
@@ -75,67 +78,83 @@ def _kernel(m_ref, src_ref, out_ref, t_vmem, sem, *, h, w, c,
         return ((m00 * xs + m01 * ys + m02) / den,
                 (m10 * xs + m11 * ys + m12) / den)
 
-    y0 = (i * TY).astype(jnp.float32)
     x0 = (j * TX).astype(jnp.float32)
+    n_blocks = h // TY
 
-    # Source bbox from the tile corners (+2px margin for rounding and the
-    # mild perspective of camera-rotation homographies).
-    cx = jnp.stack([x0, x0 + TX - 1, x0, x0 + TX - 1])
-    cy = jnp.stack([y0, y0, y0 + TY - 1, y0 + TY - 1])
-    sx_c, sy_c = src_coords(cx, cy)
-    # True band starts, then tile-aligned DMA starts (HBM slices must sit
-    # on (8,128) boundaries; h-SY is 8-aligned since supported() demands
-    # h%8==0).
-    ty0 = jnp.clip(jnp.floor(jnp.min(sy_c)) - 2, 0, h - SY).astype(jnp.int32)
-    ty0 = pl.multiple_of((ty0 // 8) * 8, 8)
-    tx0 = jnp.clip(jnp.floor(jnp.min(sx_c)) - 2, 0, w - SX).astype(jnp.int32)
-    tx0 = pl.multiple_of((tx0 // 128) * 128, 128)
+    def bbox(k):
+        """Tile-aligned source-band start for y-block k (+2px margin for
+        rounding and the mild perspective of camera-rotation
+        homographies; h-SY / w-SX are (8,128)-aligned per supported())."""
+        y0 = float(k * TY)
+        cx = jnp.stack([x0, x0 + TX - 1, x0, x0 + TX - 1])
+        cy = jnp.stack([jnp.float32(y0), jnp.float32(y0),
+                        jnp.float32(y0 + TY - 1), jnp.float32(y0 + TY - 1)])
+        sx_c, sy_c = src_coords(cx, cy)
+        ty0 = jnp.clip(jnp.floor(jnp.min(sy_c)) - 2, 0,
+                       h - SY).astype(jnp.int32)
+        ty0 = pl.multiple_of((ty0 // 8) * 8, 8)
+        tx0 = jnp.clip(jnp.floor(jnp.min(sx_c)) - 2, 0,
+                       w - SX).astype(jnp.int32)
+        tx0 = pl.multiple_of((tx0 // 128) * 128, 128)
+        return ty0, tx0
 
-    cp = pltpu.make_async_copy(
-        src_ref.at[g0, pl.ds(ty0, SY), pl.ds(tx0, SX)], t_vmem, sem)
-    cp.start()
-    cp.wait()
-    tile = t_vmem[:]
+    starts = [bbox(k) for k in range(n_blocks)]
 
-    ty0f = ty0.astype(jnp.float32)
-    tx0f = tx0.astype(jnp.float32)
-    # One output row at a time: every intermediate is a clean
-    # (lanes=TX, S) 2-D vector — no cross-tile reshapes (Mosaic-friendly).
+    def dma(k, slot):
+        ty0, tx0 = starts[k]
+        return pltpu.make_async_copy(
+            src_ref.at[g0, pl.ds(ty0, SY), pl.ds(tx0, SX)],
+            t_vmem.at[slot], sems.at[slot])
+
+    dma(0, 0).start()
+
     xs = x0 + jax.lax.broadcasted_iota(jnp.int32, (TX, 1), 0) \
         .astype(jnp.float32)                                   # [TX,1]
     ry = jax.lax.broadcasted_iota(jnp.int32, (TX, SY), 1) \
         .astype(jnp.float32)
     rx = jax.lax.broadcasted_iota(jnp.int32, (TX, SXE), 1) \
         .astype(jnp.float32)
-    for y in range(TY):
-        yv = y0 + float(y)
-        sx, sy = src_coords(xs, yv)                            # [TX,1]
-        if interpolation == 'nearest':
-            valid = ((sx >= -0.5) & (sx < w - 0.5) &
-                     (sy >= -0.5) & (sy < h - 0.5))
-            oy = (jnp.floor(sy - ty0f + 0.5) == ry)
-            ox = (jnp.floor(sx - tx0f + 0.5) == rx)
-            oy = oy.astype(jnp.float32)
-            ox = ox.astype(jnp.float32)
-        else:
-            # hat weights = exact bilinear; taps outside contribute 0
-            valid = (sx > -1.0) & (sx < w) & (sy > -1.0) & (sy < h)
-            oy = jnp.maximum(0.0, 1.0 - jnp.abs((sy - ty0f) - ry))
-            ox = jnp.maximum(0.0, 1.0 - jnp.abs((sx - tx0f) - rx))
-        # bf16 MXU matmul: the one-hot/hat weights lose ≤2⁻⁸ relative
-        # precision — ≤1 pixel LSB on [0,255] data, irrelevant for
-        # augmentation, ~2× MXU rate.
-        r = jnp.dot(oy.astype(jnp.bfloat16), tile.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-        row = jnp.sum(r * ox, axis=1, keepdims=True)           # [TX,1]
-        row = jnp.where(valid, row, 0.0)
-        out_ref[0, y, :] = row[:, 0]
+
+    for k in range(n_blocks):
+        slot = k % 2
+        if k + 1 < n_blocks:
+            dma(k + 1, (k + 1) % 2).start()
+        dma(k, slot).wait()
+        tile = t_vmem[slot].astype(jnp.bfloat16)
+        ty0, tx0 = starts[k]
+        ty0f = ty0.astype(jnp.float32)
+        tx0f = tx0.astype(jnp.float32)
+        # One output row at a time: every intermediate is a clean
+        # (lanes=TX, S) 2-D vector — no cross-tile reshapes.
+        for y in range(TY):
+            yv = float(k * TY + y)
+            sx, sy = src_coords(xs, yv)                        # [TX,1]
+            if interpolation == 'nearest':
+                valid = ((sx >= -0.5) & (sx < w - 0.5) &
+                         (sy >= -0.5) & (sy < h - 0.5))
+                oy = (jnp.floor(sy - ty0f + 0.5) == ry)
+                ox = (jnp.floor(sx - tx0f + 0.5) == rx)
+                oy = oy.astype(jnp.float32)
+                ox = ox.astype(jnp.float32)
+            else:
+                # hat weights = exact bilinear; outside taps contribute 0
+                valid = (sx > -1.0) & (sx < w) & (sy > -1.0) & (sy < h)
+                oy = jnp.maximum(0.0, 1.0 - jnp.abs((sy - ty0f) - ry))
+                ox = jnp.maximum(0.0, 1.0 - jnp.abs((sx - tx0f) - rx))
+            # bf16 MXU matmul: the one-hot/hat weights lose ≤2⁻⁸ relative
+            # precision — ≤1 pixel LSB on [0,255] data, irrelevant for
+            # augmentation, ~2× MXU rate.
+            r = jnp.dot(oy.astype(jnp.bfloat16), tile,
+                        preferred_element_type=jnp.float32)
+            row = jnp.sum(r * ox, axis=1, keepdims=True)       # [TX,1]
+            row = jnp.where(valid, row, 0.0)
+            out_ref[0, k * TY + y, :] = row[:, 0]
 
 
 def _warp_pallas_2d(planes, Ms, h, w, c, interpolation):
     """planes: [B*C, H, W] f32; Ms: [B,3,3] f32."""
     bc = planes.shape[0]
-    grid = (bc, h // TY, w // TX)
+    grid = (bc, w // TX)
     kernel = functools.partial(_kernel, h=h, w=w, c=c,
                                interpolation=interpolation)
     return pl.pallas_call(
@@ -146,12 +165,12 @@ def _warp_pallas_2d(planes, Ms, h, w, c, interpolation):
             pl.BlockSpec(memory_space=pltpu.ANY),    # source planes (HBM)
         ],
         out_specs=pl.BlockSpec(
-            (1, TY, TX), lambda g0, i, j: (g0, i, j),
+            (1, h, TX), lambda g0, j: (g0, 0, j),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bc, h, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((SY, SX), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, SY, SX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(Ms, planes)
 
