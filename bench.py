@@ -29,6 +29,9 @@ def main():
 
     from ursonet_tpu.config import Config
     from ursonet_tpu.models.ursonet import build_model
+    from ursonet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     batch = int(os.environ.get('BENCH_BATCH', '128'))
     iters = int(os.environ.get('BENCH_ITERS', '20'))

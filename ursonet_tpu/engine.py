@@ -53,6 +53,8 @@ class UrsoNet:
     # -- graph/build ---------------------------------------------------------
 
     def build(self):
+        from ursonet_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         self.model = build_model(self.config)
         self.mesh = parallel.make_mesh(self.config)
         self.tx = make_optimizer(self.config)

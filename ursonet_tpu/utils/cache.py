@@ -1,0 +1,39 @@
+"""Persistent XLA compilation cache.
+
+Each (dataset, image_scale, resize-mode, model) combination is one
+compiled program (SURVEY.md §7 'static shapes vs --image_scale'); on the
+remote-TPU platform a ResNet-sized compile costs 60–95 s. Enabling JAX's
+persistent cache makes every repeat run (re-training, evaluate after
+train, resumes, benchmarks) start in seconds.
+
+Called from the engine and the CLI; idempotent; opt out with
+URSONET_NO_COMPILATION_CACHE=1 or an explicit dir via
+JAX_COMPILATION_CACHE_DIR.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.expanduser('~/.cache/ursonet_tpu_xla')
+_enabled = False
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> bool:
+    global _enabled
+    if _enabled:
+        return True
+    if os.environ.get('URSONET_NO_COMPILATION_CACHE') == '1':
+        return False
+    import jax
+    cache_dir = (cache_dir or os.environ.get('JAX_COMPILATION_CACHE_DIR')
+                 or _DEFAULT_DIR)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        _enabled = True
+    except Exception:
+        return False
+    return True
