@@ -152,3 +152,21 @@ def test_head_feature_count():
     cfg.IMAGE_MAX_DIM = 640
     cfg.update()
     assert cfg.head_input_features() == 9600
+
+
+def test_presets_build_models():
+    """Every preset yields a config that passes the %64 contract and
+    builds a model; released presets satisfy the h5-import asserts."""
+    from ursonet_tpu import presets
+    from ursonet_tpu.checkpoint.h5_import import check_released_config
+    from ursonet_tpu.models.ursonet import build_model
+
+    for n in range(1, 6):
+        cfg = presets.benchmark_config(n)
+        assert cfg.IMAGE_SHAPE[0] % 64 == 0 and cfg.IMAGE_SHAPE[1] % 64 == 0
+        build_model(cfg)
+
+    for name in ('soyuz_hard', 'dragon_hard', 'speed'):
+        cfg = presets.released_config(name)
+        assert check_released_config(name, cfg) is None
+        build_model(cfg)
