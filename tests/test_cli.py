@@ -180,3 +180,68 @@ def test_cli_classification_mode_train_eval(urso_env):
         urso_env, 'evaluate', '--weights', 'last',
         '--classify_ori', '--classify_loc', '--ori_resolution', '8'))
     assert rc == 0
+
+
+def test_cli_train_speed_dataset(tmp_path):
+    """SPEED end-to-end training: grayscale JPEG decode (native loader's
+    libjpeg path incl. gray->RGB expansion), scalar-first quaternion
+    conversion, train_no_val/val subsets."""
+    data_dir = tmp_path / 'datasets'
+    make_speed_dataset(str(data_dir / 'speed'),
+                       subsets=('train_no_val', 'val'),
+                       n_per_subset=4, width=192, height=120)
+    rc = pose_estimator.main(
+        ['train', '--dataset', 'speed', '--data_dir', str(data_dir),
+         '--logs', str(tmp_path / 'logs'), '--out_dir', str(tmp_path),
+         '--weights', 'none', '--image_scale', '0.1', '--epochs', '1',
+         '--batch_size', '2', '--steps_per_epoch', '2'] + COMMON[:6] +
+        ['--regress_ori'])
+    assert rc == 0
+    assert glob.glob(str(tmp_path / 'logs' / 'speed*' / 'weights_*'))
+
+
+def test_video_inference(urso_env, tmp_path):
+    """detect_video annotates a clip end to end (imageio read/write,
+    batched forward, decode, axes overlay)."""
+    import cv2
+
+    from ursonet_tpu.config import Config
+    from ursonet_tpu.data.urso import Urso
+    from ursonet_tpu.engine import UrsoNet
+    from ursonet_tpu.video import detect_video
+
+    cfg = Config()
+    cfg.NAME = 'vid'
+    cfg.BACKBONE = 'resnet18'
+    cfg.BOTTLENECK_WIDTH = 8
+    cfg.BRANCH_SIZE = 16
+    cfg.IMAGE_RESIZE_MODE = 'square'
+    cfg.IMAGE_MAX_DIM = cfg.IMAGE_MIN_DIM = 64
+    cfg.IMAGES_PER_GPU = 2
+    cfg.REGRESS_ORI = True
+    cfg.ROT_AUG = False
+    cfg.update()
+
+    ds = Urso()
+    ds.load_dataset(os.path.join(urso_env['data_dir'], 'soyuz_tiny'),
+                    cfg, 'test')
+    clip = str(tmp_path / 'clip.mp4')
+    img0 = ds.load_image(ds.image_ids[0])
+    w = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*'mp4v'), 5,
+                        (img0.shape[1], img0.shape[0]))
+    for i in range(5):
+        frame = ds.load_image(ds.image_ids[i % len(ds.image_ids)])
+        w.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    w.release()
+
+    engine = UrsoNet('inference', cfg, str(tmp_path / 'logs'))
+    engine.initialize()
+    out = detect_video(engine, ds, clip,
+                       out_path=str(tmp_path / 'annotated.mp4'),
+                       log_fn=lambda *a: None)
+    assert os.path.exists(out)
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 5

@@ -26,18 +26,65 @@ def _overlay_axes(frame, K, loc, q, frame_convention='unreal',
     e2 = project_points(K, ends, frame_convention)
     colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
     out = np.ascontiguousarray(frame)
+
+    def pt(v):
+        # estimates can project far outside the frame (or behind the
+        # camera) — clamp to a sane integer range for cv2
+        v = np.nan_to_num(np.asarray(v, np.float64), nan=0.0,
+                          posinf=1e6, neginf=-1e6)
+        return tuple(int(x) for x in np.clip(v, -32768, 32767))
+
     for i, c in enumerate(colors):
-        p0 = tuple(int(v) for v in o2)
-        p1 = tuple(int(v) for v in e2[i])
-        cv2.line(out, p0, p1, c, 2)
+        cv2.line(out, pt(o2), pt(e2[i]), c, 2)
     return out
+
+
+class _Cv2Reader:
+    """cv2-backed frame iterator + writer pair (imageio's video plugins
+    need ffmpeg, which isn't guaranteed; cv2 ships its own codecs)."""
+
+    def __init__(self, path):
+        import cv2
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise IOError(f"cannot open video {path}")
+        self.fps = self._cap.get(cv2.CAP_PROP_FPS) or 25
+
+    def __iter__(self):
+        import cv2
+        while True:
+            ok, frame = self._cap.read()
+            if not ok:
+                return
+            yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+
+    def close(self):
+        self._cap.release()
+
+
+class _Cv2Writer:
+    def __init__(self, path, fps):
+        self._path, self._fps = path, fps
+        self._writer = None
+
+    def append_data(self, frame):
+        import cv2
+        if self._writer is None:
+            h, w = frame.shape[:2]
+            self._writer = cv2.VideoWriter(
+                self._path, cv2.VideoWriter_fourcc(*'mp4v'),
+                self._fps, (w, h))
+        self._writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.release()
 
 
 def detect_video(engine, dataset, video_path: str,
                  out_path: str = None, max_frames: int = None,
                  log_fn=print) -> str:
     """Annotate a video with per-frame pose estimates."""
-    import imageio.v2 as imageio
     import jax.numpy as jnp
 
     cfg = engine.config
@@ -48,9 +95,8 @@ def detect_video(engine, dataset, video_path: str,
         out_path = base + '_annotated.mp4'
 
     frame_conv = 'unreal' if dataset.name == 'Urso' else 'camera'
-    reader = imageio.get_reader(video_path)
-    meta = reader.get_meta_data()
-    writer = imageio.get_writer(out_path, fps=meta.get('fps', 25))
+    reader = _Cv2Reader(video_path)
+    writer = _Cv2Writer(out_path, reader.fps)
 
     bs = cfg.BATCH_SIZE
     buf = []
