@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                         'instead of batched on device')
     p.add_argument('--out_dir', default='.',
                    help='where eval CSVs / overlays / submissions go')
+    p.add_argument('--eval_batch', default=1, type=int,
+                   help='inference batch size for test/evaluate/submit '
+                        '(the reference runs batch 1; larger batches use '
+                        'the TPU far better)')
     p.add_argument('--seed', default=0, type=int)
     return p
 
@@ -140,7 +144,7 @@ def make_config(args):
     config.IMAGE_MIN_DIM = h - h % 64 + 64 if h % 64 else h
 
     config.IMAGES_PER_GPU = args.batch_size if args.command == 'train' \
-        else 1
+        else max(1, args.eval_batch)
     n_dev = len(jax.devices())
     config.MESH_MODEL = max(1, args.mesh_model)
     if args.mesh_data > 0:
