@@ -202,3 +202,42 @@ def test_orbax_checkpoint_roundtrip(urso_dir, tmp_path):
     engine3.initialize()
     assert engine3.resume_state(engine.log_dir)
     assert int(engine3.state.step) == int(engine.state.step)
+
+
+def test_h5_export_import_roundtrip(tmp_path):
+    """save_keras_h5 -> load_keras_h5 reproduces every param and BN stat
+    (weights round-trip with the reference's h5 format)."""
+    import jax
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from ursonet_tpu.checkpoint.h5_import import (load_keras_h5,
+                                                  save_keras_h5)
+    from ursonet_tpu.models.ursonet import build_model
+
+    for backbone in ('resnet18', 'resnet50'):
+        cfg = TinyConfig()
+        cfg.BACKBONE = backbone
+        cfg.update()
+        model = build_model(cfg)
+        v = nn.unbox(model.init(jax.random.PRNGKey(1),
+                                jnp.zeros((1, 64, 64, 3)), training=False))
+        params = jax.tree.map(np.asarray, v['params'])
+        stats = jax.tree.map(
+            lambda a: a + 0.1 * np.random.RandomState(2)
+            .rand(*a.shape).astype(a.dtype), v['batch_stats'])
+
+        path = str(tmp_path / f'{backbone}.h5')
+        save_keras_h5(path, params, stats)
+
+        v2 = nn.unbox(model.init(jax.random.PRNGKey(99),
+                                 jnp.zeros((1, 64, 64, 3)),
+                                 training=False))
+        p2, s2, report = load_keras_h5(
+            path, jax.tree.map(np.asarray, v2['params']),
+            jax.tree.map(np.asarray, v2['batch_stats']))
+        assert not report['mismatched']
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(stats), jax.tree.leaves(s2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

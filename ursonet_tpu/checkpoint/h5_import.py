@@ -168,6 +168,64 @@ def _assign(tree, path, arr) -> bool:
     return True
 
 
+def save_keras_h5(path: str, params, batch_stats=None):
+    """Export the Flax trees as a reference-layout Keras weights file —
+    the inverse of `load_keras_h5`, so weights round-trip between this
+    framework and the reference's `load_weights(by_name=True)`.
+
+    Layout: one group per layer with a `weight_names` attribute;
+    conv/dense -> kernel/bias, BN -> gamma/beta + moving_mean/variance
+    (from batch_stats). The s2d stem kernel shape (4,4,4C,O) is exported
+    as-is — convert with models.resnet.stem_kernel_to_s2d's inverse
+    before export if reference-shape stems are required.
+    """
+    import h5py
+
+    params = _to_plain(params)
+    batch_stats = _to_plain(batch_stats) if batch_stats else {}
+    layer_index = index_layers(params)
+    stats_index = index_layers(batch_stats) if batch_stats else {}
+
+    def get(tree, pth):
+        node = tree
+        for k in pth:
+            node = node[k]
+        return node
+
+    with h5py.File(path, 'w') as f:
+        layer_names = []
+        for lname, ppath in sorted(layer_index.items()):
+            if lname == 'bn':  # inner FrozenAwareBN submodule, not a layer
+                continue
+            node = get(params, ppath)
+            weights = {}
+            if 'bn' in node:  # FrozenAwareBN wrapper
+                bn = node['bn']
+                weights['gamma'] = bn['scale']
+                weights['beta'] = bn['bias']
+                spath = stats_index.get(lname)
+                if spath is not None:
+                    sbn = get(batch_stats, spath)['bn']
+                    weights['moving_mean'] = sbn['mean']
+                    weights['moving_variance'] = sbn['var']
+            else:
+                for leaf in ('kernel', 'bias'):
+                    if leaf in node and not isinstance(node[leaf], dict):
+                        weights[leaf] = node[leaf]
+            if not weights:
+                continue
+            g = f.create_group(lname)
+            wnames = []
+            for leaf, arr in weights.items():
+                wname = f"{lname}/{leaf}:0"
+                g.create_dataset(wname, data=np.asarray(arr, np.float32))
+                wnames.append(wname.encode())
+            g.attrs['weight_names'] = wnames
+            layer_names.append(lname.encode())
+        f.attrs['layer_names'] = layer_names
+    return path
+
+
 # Released-weights config assertions (reference net.py:886-940).
 RELEASED_CONFIGS = {
     'soyuz_hard': dict(BACKBONE='resnet50', BOTTLENECK_WIDTH=128,
