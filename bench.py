@@ -1,18 +1,26 @@
 #!/usr/bin/env python3
 """Headline benchmark: ResNet-50 flagship inference throughput per chip.
 
-Measures steady-state images/sec of the jitted flagship forward pass
-(ResNet-50 + bottleneck-128 + dual heads, 512×640 bf16 — the released
-soyuz_hard configuration at image_scale 0.5) on the available accelerator.
+Measures steady-state images/sec of the flagship forward pass
+(ResNet-50 + bottleneck-128 + dual heads, 512×640 — the released
+soyuz_hard configuration at image_scale 0.5) on the available
+accelerator, using the production serving path: calibrated int8 PTQ
+(ursonet_tpu/models/quant.py), cross-checked numerically against the
+float model before timing. BENCH_QUANT=0 benches the bf16 path instead.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
 
 vs_baseline is measured against the 5,000 imgs/sec/chip north-star target
-(BASELINE.md): value / 5000.
+(BASELINE.md): value / 5000. Note the measured chip roofline (PERF.md):
+53.65 GFLOP/img over a measured ~164 TF/s MXU peak puts the bf16
+speed-of-light at ~3,050 imgs/sec on this v5e; the int8 path wins by
+halving HBM traffic, not by double-rate MXU (XLA/Mosaic expose no
+394-TOPS int8 mode as of jax 0.9).
 
 Env knobs: BENCH_BATCH (default 128), BENCH_ITERS (default 20),
-BENCH_IMAGE='H,W' to override the input resolution.
+BENCH_IMAGE='H,W' to override the input resolution, BENCH_QUANT=0 for
+the bf16 path.
 """
 
 from __future__ import annotations
@@ -66,34 +74,62 @@ def main():
     params = variables['params']
     batch_stats = variables['batch_stats']
 
+    quant = os.environ.get('BENCH_QUANT', '1') != '0'
+
     # The forward reduces the head outputs to one scalar on device:
-    # fetching the raw ori-PMF ([batch, bins³]) through the (remote)
-    # device link would dominate the measurement. Executions are queued
+    # fetching the raw head outputs through the (remote) device link
+    # would dominate the measurement. Executions are queued
     # asynchronously and synced once at the end with a 4-byte scalar
     # fetch — per-device PJRT streams execute in order, so the last
     # result completing implies all prior calls completed. (lax.scan-based
     # device loops hang on the axon remote platform; plain queued
     # dispatches are reliable.)
-    @jax.jit
-    def forward(params, batch_stats, images):
-        out = model.apply({'params': params, 'batch_stats': batch_stats},
-                          images, training=False)
-        return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
+    if quant:
+        from ursonet_tpu.models.quant import Int8Ops, QuantizedModel, \
+            twin_forward
+        qm = QuantizedModel.from_variables(config, params, batch_stats)
+        qm.calibrate(images[:8])
+        # Accuracy gate: int8 must track the float model on this batch.
+        ref = {k: np.asarray(v)
+               for k, v in qm.float_twin(images[:8]).items()}
+        out = {k: np.asarray(v) for k, v in qm(images[:8]).items()}
+        for k in ref:
+            rel = (np.linalg.norm(out[k] - ref[k])
+                   / (np.linalg.norm(ref[k]) + 1e-9))
+            assert rel < 0.15, f"int8 accuracy gate failed on {k}: {rel}"
+        ops = Int8Ops(qm.flat, qm.act_scales, qm.acc_dtype)
+        mcfg = qm._mcfg
+
+        @jax.jit
+        def forward(images):
+            out = twin_forward(ops, images, mcfg)
+            return sum(jnp.sum(v.astype(jnp.float32))
+                       for v in out.values())
+        metric = "resnet50_512x640_int8_infer"
+    else:
+        @jax.jit
+        def forward(images):
+            out = model.apply(
+                {'params': params, 'batch_stats': batch_stats},
+                images, training=False)
+            return sum(jnp.sum(v.astype(jnp.float32))
+                       for v in out.values())
+        metric = "resnet50_512x640_bf16_infer"
 
     # Warmup / compile.
-    s = float(forward(params, batch_stats, images))
+    s = float(forward(images))
     assert s == s, "non-finite benchmark output"
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(params, batch_stats, images)
+        out = forward(images)
     s = float(out)  # single scalar sync
     dt = time.perf_counter() - t0
     assert s == s, "non-finite benchmark output"
 
     imgs_per_sec = batch * iters / dt
     print(json.dumps({
-        "metric": "resnet50_512x640_bf16_infer",
+        "metric": metric,
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / 5000.0, 4),

@@ -1,0 +1,445 @@
+"""Post-training int8 quantization (PTQ) for serving.
+
+TPU-native serving-path optimization with no reference counterpart (the
+reference's fastest inference mode is Keras f16, net.py:589-593). The
+UrsoNet forward at the flagship shape is MXU+HBM bound; int8 activations
+and weights halve the HBM traffic of every convolution, which measures
+~1.45x end-to-end on v5e (PERF.md). XLA's int8 convolutions execute at
+bf16-equivalent MXU rates on this chip (the native double-rate int8 mode
+is not exposed through XLA or Mosaic as of jax 0.9 — see the probe log in
+PERF.md), so the win is bandwidth, not compute.
+
+Scheme (standard symmetric PTQ):
+  * weights   per-output-channel int8:  s_w[o] = max|W[..,o]| / 127
+  * activations per-tensor int8, calibrated: s_x = max|x| / 127 over a
+    calibration batch (max-abs observer)
+  * conv/dense: int8 x int8 -> int32, dequantized in the epilogue as
+    y = acc * (s_x*s_w) + b; residual adds and ReLU in float; the next
+    site's quantize fuses into the same epilogue (one int8 store).
+
+The same *twin* graph function drives three phases through an ops
+object — a float reference (`F32Ops`), a max-abs calibration pass
+(`CalibOps`), and the int8 serving pass (`Int8Ops`) — so the three can
+never structurally diverge. The twin reproduces UrsoNetModule
+(models/ursonet.py) exactly on BN-folded parameters; equivalence is
+unit-tested (tests/test_quant.py).
+
+Usage:
+    qmodel = QuantizedModel.from_variables(config, params, batch_stats)
+    qmodel.calibrate(molded_images)          # one representative batch
+    outputs = qmodel(molded_images)          # jitted int8 forward
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ursonet_tpu.models.folding import fold_bn
+
+
+# --------------------------------------------------------------------------
+# Folded parameter flattening: {site_name: (kernel, effective_bias)}
+# --------------------------------------------------------------------------
+
+def flatten_folded(params, batch_stats, config) -> Dict[str, tuple]:
+    """Fold BN and flatten the param tree into per-site (kernel, bias).
+
+    Site names match the twin graph's conv/dense call sites; head sites
+    get a 'loc_head/' / 'ori_head/' prefix, backbone conv names are
+    globally unique already (models/resnet.py naming). BN running stats
+    are folded into the conv kernel; the BN shift becomes part of the
+    site bias, so the twin needs no BN ops at all.
+    """
+    from ursonet_tpu.models.folding import _bn_name_for
+    if getattr(config, 'TRAIN_BN', False):
+        raise NotImplementedError(
+            'int8 PTQ supports the TRAIN_BN=False default only')
+    if getattr(config, 'STEM_SPACE_TO_DEPTH', False):
+        raise NotImplementedError('int8 PTQ: use the standard stem')
+    params, batch_stats = fold_bn(jax.device_get(params),
+                                  jax.device_get(batch_stats or {}))
+    flat: Dict[str, tuple] = {}
+
+    def add(site, node, parent):
+        k = np.asarray(node['kernel'], np.float32)
+        b = np.asarray(node['bias'], np.float32) if 'bias' in node \
+            else np.zeros((k.shape[-1],), np.float32)
+        bn = _bn_name_for(site.split('/')[-1])
+        if bn and bn in parent:  # folded BN shift (folding.py)
+            b = b + np.asarray(parent[bn]['bn']['bias'], np.float32)
+        flat[site] = (k, b)
+
+    def walk(node, prefix):
+        for name, sub in node.items():
+            if not isinstance(sub, dict):
+                continue
+            if 'kernel' in sub:
+                add(prefix + name if prefix else name, sub, node)
+            else:
+                # heads keep their module prefix; backbone block
+                # submodules don't (conv names are already unique)
+                child_prefix = f'{name}/' if name.endswith('_head') \
+                    else prefix
+                walk(sub, child_prefix)
+
+    walk(params, '')
+    return flat
+
+
+# --------------------------------------------------------------------------
+# Phase ops
+# --------------------------------------------------------------------------
+
+def _conv_dn(x_shape, w_shape):
+    return jax.lax.conv_dimension_numbers(x_shape, w_shape,
+                                          ('NHWC', 'HWIO', 'NHWC'))
+
+
+class F32Ops:
+    """Float twin of UrsoNetModule on folded params (reference semantics:
+    conv -> +bias(+BN shift) -> ReLU; Dense likewise)."""
+
+    def __init__(self, flat, compute_dtype=jnp.float32):
+        self.flat = flat
+        self.dt = compute_dtype
+
+    def input(self, x):
+        return x.astype(self.dt)
+
+    def conv(self, x, site, stride=1, padding='SAME'):
+        w, b = self.flat[site]
+        y = jax.lax.conv_general_dilated(
+            x, jnp.asarray(w, self.dt), (stride, stride), padding,
+            dimension_numbers=_conv_dn(x.shape, w.shape))
+        return y + jnp.asarray(b, self.dt)
+
+    def dense(self, x, site):
+        w, b = self.flat[site]
+        return x @ jnp.asarray(w, self.dt) + jnp.asarray(b, self.dt)
+
+    def dense_final(self, x, site):
+        return self.dense(x, site)
+
+    def relu(self, x, site=None):
+        # `site` marks a requantization point for the int8 phase.
+        return jax.nn.relu(x)
+
+    def add(self, a, b):
+        return a + b
+
+    def maxpool(self, x):
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), 'SAME')
+
+    def flatten(self, x, site):
+        return x.reshape(x.shape[0], -1)
+
+    def finalize(self, out):
+        return {k: v.astype(jnp.float32) for k, v in out.items()}
+
+
+class CalibOps(F32Ops):
+    """F32 twin that also records max|x| at every quantize site."""
+
+    def __init__(self, flat, compute_dtype=jnp.float32):
+        super().__init__(flat, compute_dtype)
+        self.maxabs: Dict[str, jnp.ndarray] = {}
+
+    def _observe(self, name, x):
+        self.maxabs[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+        return x
+
+    def input(self, x):
+        return self._observe('input', super().input(x))
+
+    def relu(self, x, site=None):
+        y = super().relu(x)
+        if site:
+            self._observe(site, y)
+        return y
+
+    def flatten(self, x, site):
+        return self._observe(site, super().flatten(x, site))
+
+
+class _QT:
+    """A quantized activation: int8 array + its dequantization scale.
+    Scales travel WITH the tensor (a mutable current-scale would cross
+    wires at graph forks, e.g. the two heads sharing `feats`)."""
+
+    __slots__ = ('arr', 'scale')
+
+    def __init__(self, arr, scale):
+        self.arr, self.scale = arr, scale
+
+
+class Int8Ops:
+    """int8 serving phase. Activations ride between sites as _QT (int8 +
+    scale); every conv/dense epilogue dequantizes (scale+bias) into
+    `acc_dtype`, and relu(site=...) requantizes for the next consumer.
+    Final head denses run in float (dense_final) — tiny compute, and it
+    keeps the head outputs (e.g. the 4-float quaternion) clean."""
+
+    def __init__(self, flat, act_scales, acc_dtype=jnp.float32):
+        self.dt = acc_dtype
+        self.scales = {k: float(v) for k, v in act_scales.items()}
+        self.flat = flat
+        self.q = {}
+        for site, (w, b) in flat.items():
+            axes = tuple(range(w.ndim - 1))
+            sw = np.maximum(np.abs(w).max(axis=axes), 1e-12) / 127.0
+            self.q[site] = (jnp.asarray(np.clip(np.round(w / sw), -127, 127)
+                                        .astype(np.int8)),
+                            jnp.asarray(sw, np.float32),
+                            jnp.asarray(b, np.float32))
+
+    def _q8(self, x, site):
+        s = self.scales[site] / 127.0
+        y = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+        return _QT(y.astype(jnp.int8), s)
+
+    def input(self, x):
+        return self._q8(x, 'input')
+
+    def conv(self, x, site, stride=1, padding='SAME'):
+        w8, sw, b = self.q[site]
+        acc = jax.lax.conv_general_dilated(
+            x.arr, w8, (stride, stride), padding,
+            dimension_numbers=_conv_dn(x.arr.shape, w8.shape),
+            preferred_element_type=jnp.int32)
+        scale = (sw * x.scale).astype(self.dt)
+        return acc.astype(self.dt) * scale + b.astype(self.dt)
+
+    def dense(self, x, site):
+        w8, sw, b = self.q[site]
+        acc = jax.lax.dot_general(x.arr, w8, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        scale = (sw * x.scale).astype(self.dt)
+        return acc.astype(self.dt) * scale + b.astype(self.dt)
+
+    def dense_final(self, x, site):
+        """Float final dense (accuracy-critical, compute-trivial)."""
+        if isinstance(x, _QT):
+            x = self.dequant(x)
+        w, b = self.flat[site]
+        return x @ jnp.asarray(w, self.dt) + jnp.asarray(b, self.dt)
+
+    def relu(self, x, site=None):
+        y = jax.nn.relu(x)
+        if site:  # requantize for the next int8 consumer
+            return self._q8(y, site)
+        return y
+
+    def add(self, a, b):
+        # residual join: operands arrive dequantized (float)
+        return a + b
+
+    def maxpool(self, x):
+        # monotonic => commutes with quantization; pool in int8 directly
+        return _QT(jax.lax.reduce_window(
+            x.arr, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            'SAME'), x.scale)
+
+    def dequant(self, x):
+        """int8 -> float (for residual forks consumed by float adds)."""
+        return x.arr.astype(self.dt) * jnp.asarray(x.scale, self.dt)
+
+    def flatten(self, x, site):
+        return self._q8(x.reshape(x.shape[0], -1), site)
+
+    def finalize(self, out):
+        return {k: v.astype(jnp.float32) for k, v in out.items()}
+
+
+# --------------------------------------------------------------------------
+# The twin graph (mirrors models/ursonet.py + models/resnet.py exactly)
+# --------------------------------------------------------------------------
+
+def _dequant_maybe(ops, x):
+    return ops.dequant(x) if isinstance(ops, Int8Ops) else x
+
+
+def _bottleneck_backbone(ops, x, architecture):
+    """ResNet-50/101 (models/resnet.py ResNetBackbone)."""
+    y = ops.conv(x, 'conv1', 2, [(3, 3), (3, 3)])
+    y = ops.relu(y, 'conv1/out')
+    y = ops.maxpool(y)
+
+    def block(y, stage, blk, strides, conv_shortcut):
+        c = f'res{stage}{blk}_branch'
+        sc = ops.conv(y, c + '1', strides, 'VALID') if conv_shortcut \
+            else _dequant_maybe(ops, y)
+        r = ops.conv(y, c + '2a', strides, 'VALID')
+        r = ops.relu(r, c + '2a/out')
+        r = ops.conv(r, c + '2b', 1, 'SAME')
+        r = ops.relu(r, c + '2b/out')
+        r = ops.conv(r, c + '2c', 1, 'VALID')
+        return ops.relu(ops.add(r, sc), c + '/out')
+
+    y = block(y, 2, 'a', 1, True)
+    y = block(y, 2, 'b', 1, False)
+    y = block(y, 2, 'c', 1, False)
+    y = block(y, 3, 'a', 2, True)
+    for b in 'bcd':
+        y = block(y, 3, b, 1, False)
+    y = block(y, 4, 'a', 2, True)
+    n4 = {'resnet50': 5, 'resnet101': 22}[architecture]
+    for i in range(n4):
+        y = block(y, 4, chr(98 + i), 1, False)
+    y = block(y, 5, 'a', 2, True)
+    y = block(y, 5, 'b', 1, False)
+    y = block(y, 5, 'c', 1, False)
+    return y
+
+
+def _basic_backbone(ops, x, architecture):
+    """ResNet-18/34 (models/resnet.py ResNetShallowBackbone; single-BN
+    basic block, reference net.py:216-240)."""
+    y = ops.conv(x, 'conv0', 2, [(3, 3), (3, 3)])
+    y = ops.relu(y, 'conv0/out')
+    y = ops.maxpool(y)
+    reps = [2, 2, 2, 2] if architecture == 'resnet18' else [3, 4, 6, 3]
+    for stage, rep in enumerate(reps):
+        for blk in range(rep):
+            base = f'stage{stage + 1}_unit{blk + 1}_'
+            strides = 2 if (blk == 0 and stage > 0) else 1
+            cut = 'post' if blk == 0 else 'pre'
+            sc = ops.conv(y, base + 'sc', strides, 'VALID') \
+                if cut == 'post' else _dequant_maybe(ops, y)
+            r = ops.conv(y, base + 'conv1', strides,
+                         [(1, 1), (1, 1)])
+            r = ops.relu(r, base + 'conv1/out')
+            r = ops.conv(r, base + 'conv2', 1, [(1, 1), (1, 1)])
+            y = ops.relu(ops.add(r, sc), base + '/out')
+    return y
+
+
+def _l2norm(x):
+    """tf.nn.l2_normalize semantics (models/heads.py)."""
+    sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return x.astype(jnp.float32) * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+
+
+def twin_forward(ops, images, mcfg: dict) -> Dict[str, jnp.ndarray]:
+    """Shared graph across all phases. `mcfg` is the model-config snapshot
+    (see QuantizedModel._mcfg)."""
+    x = ops.input(images)
+    if mcfg['backbone'] in ('resnet50', 'resnet101'):
+        y = _bottleneck_backbone(ops, x, mcfg['backbone'])
+    else:
+        y = _basic_backbone(ops, x, mcfg['backbone'])
+    y = ops.conv(y, 'bottleneck_layer', 2, 'SAME')
+    feats = ops.flatten(y, 'bottleneck/out')
+
+    def dense_stack(prefix):
+        """Hidden dense stack; the LAST hidden relu is not requantized —
+        it feeds the float final dense (Int8Ops.dense_final)."""
+        h = feats
+        n = mcfg['nr_dense_layers']
+        for i in range(n):
+            site = f'{prefix}_head/{prefix}_dense_{i}'
+            h = ops.dense(h, site)
+            h = ops.relu(h, site + '/out' if i < n - 1 else None)
+        return h
+
+    def head(prefix, final_site, final_act):
+        h = dense_stack(prefix)
+        h = ops.dense_final(h, f'{prefix}_head/{final_site}')
+        if final_act == 'relu':
+            h = ops.relu(h)
+        elif final_act == 'l2norm':
+            h = _l2norm(h)
+        return h
+
+    out: Dict[str, jnp.ndarray] = {}
+    if mcfg['regress_keypoints']:
+        h = dense_stack('loc')
+        out['loc'] = ops.dense_final(h, 'loc_head/k1_final')
+        out['k1'] = ops.dense_final(h, 'loc_head/k2_final')
+        out['k2'] = ops.dense_final(h, 'loc_head/k3_final')
+        return ops.finalize(out)
+
+    out['loc'] = head('loc', 'loc_final',
+                      'linear' if mcfg['regress_loc'] else 'relu')
+    if mcfg['regress_ori']:
+        if mcfg['orientation_param'] == 'quaternion':
+            out['ori'] = head('ori', 'ori_q', 'l2norm')
+        else:
+            out['ori'] = head('ori', 'ori_final', 'linear')
+    else:
+        out['ori'] = head('ori', 'ori_final', 'relu')
+    return ops.finalize(out)
+
+
+# --------------------------------------------------------------------------
+# Public facade
+# --------------------------------------------------------------------------
+
+class QuantizedModel:
+    """Calibrated int8 serving model.
+
+    from_variables() folds BN and flattens the tree; calibrate() runs the
+    float twin once to set activation scales; __call__ is the jitted int8
+    forward. `float_twin()` exposes the f32 reference twin for
+    equivalence testing.
+    """
+
+    def __init__(self, config, flat_params):
+        self.flat = flat_params
+        self._mcfg = dict(
+            backbone=config.BACKBONE,
+            nr_dense_layers=config.NR_DENSE_LAYERS,
+            regress_loc=config.REGRESS_LOC,
+            regress_ori=config.REGRESS_ORI,
+            regress_keypoints=config.REGRESS_KEYPOINTS,
+            orientation_param=config.ORIENTATION_PARAM,
+            loc_bins=config.LOC_BINS_PER_DIM,
+            ori_bins=config.ORI_BINS_PER_DIM,
+        )
+        self.act_scales: Optional[Dict[str, float]] = None
+        self._fn: Optional[Callable] = None
+        self.acc_dtype = jnp.bfloat16 if getattr(config, 'F16', False) \
+            else jnp.float32
+
+    @classmethod
+    def from_variables(cls, config, params, batch_stats):
+        return cls(config, flatten_folded(params, batch_stats, config))
+
+    # -- phases ---------------------------------------------------------------
+
+    def float_twin(self, images):
+        return twin_forward(F32Ops(self.flat), images, self._mcfg)
+
+    def calibrate(self, images, percentile_headroom: float = 1.0):
+        """Max-abs calibration over one (or more) molded batches; call
+        repeatedly to take the running max across batches."""
+        mcfg = self._mcfg
+
+        def run(imgs):
+            ops = CalibOps(self.flat)
+            twin_forward(ops, imgs, mcfg)
+            return ops.maxabs
+
+        maxabs = jax.jit(run)(jnp.asarray(images))
+        maxabs = {k: float(v) * percentile_headroom
+                  for k, v in maxabs.items()}
+        if self.act_scales is None:
+            self.act_scales = maxabs
+        else:
+            self.act_scales = {k: max(self.act_scales[k], v)
+                               for k, v in maxabs.items()}
+        self._fn = None
+        return self.act_scales
+
+    def __call__(self, images):
+        if self.act_scales is None:
+            raise RuntimeError('calibrate() before inference')
+        if self._fn is None:
+            ops = Int8Ops(self.flat, self.act_scales, self.acc_dtype)
+            mcfg = self._mcfg
+            self._fn = jax.jit(lambda x: twin_forward(ops, x, mcfg))
+        return self._fn(jnp.asarray(images))
