@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
                         '(the reference runs batch 1; larger batches use '
                         'the TPU far better)')
     p.add_argument('--seed', default=0, type=int)
+    p.add_argument('--int8', action='store_true',
+                   help='serve inference through the calibrated int8 PTQ '
+                        'path (test/evaluate/submit; ~1.7x on v5e)')
     return p
 
 
@@ -233,6 +236,11 @@ def main(argv=None):
     mode = 'training' if args.command == 'train' else 'inference'
     engine = UrsoNet(mode=mode, config=config, model_dir=args.logs)
     resolve_and_load_weights(engine, args)
+    if args.int8:
+        if args.command == 'train':
+            raise SystemExit("--int8 is an inference-serving flag; "
+                             "training runs bf16/f32")
+        engine.quantize()  # calibrates lazily on the first detect batch
 
     if args.command == 'train':
         if args.dataset == 'speed':

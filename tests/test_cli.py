@@ -57,6 +57,12 @@ def test_cli_train_then_evaluate_then_test(urso_env, capsys):
     overlays = glob.glob(os.path.join(urso_env['out'], 'overlays', '*.png'))
     assert overlays, "axes overlays saved"
 
+    # int8 serving path through the CLI (lazy-calibrated PTQ)
+    rc = pose_estimator.main(_args(urso_env, 'evaluate',
+                                   '--weights', 'last', '--int8'))
+    assert rc == 0
+    assert 'ESA score' in capsys.readouterr().out
+
 
 def test_cli_submit_speed(tmp_path, capsys):
     data_dir = tmp_path / 'datasets'

@@ -229,39 +229,43 @@ class UrsoNet:
         last_means = {}
 
         log_every = int(getattr(cfg, 'LOG_EVERY_STEPS', 0) or 0)
+        # Metric sums accumulate ON DEVICE; fetching scalars per step
+        # would sync the host into every step and stall the dispatch
+        # pipeline (a ~15% throughput hit through the remote tunnel).
+        acc = jax.jit(lambda s, m: jax.tree.map(jnp.add, s, m))
         with self.mesh:
             for epoch in range(self.epoch, epochs):
                 t0 = time.time()
-                sums, n = {}, 0
+                sums, n = None, 0
                 for _ in range(cfg.STEPS_PER_EPOCH):
                     key, sub = jax.random.split(key)
                     batch = parallel.shard_batch(self.mesh, next(train_gen))
                     self.state, metrics = train_step(self.state, batch, sub)
                     n += 1
-                    for k, v in metrics.items():
-                        sums[k] = sums.get(k, 0.0) + float(v)
+                    sums = metrics if sums is None else acc(sums, metrics)
                     if log_every and n % log_every == 0:
                         # per-batch scalar logging (reference BatchLogger,
-                        # net.py:1106-1115)
+                        # net.py:1106-1115) — opting in syncs the host
                         with open(metrics_path, 'a') as f:
                             f.write(json.dumps(
                                 {'step': int(self.state.step),
                                  **{k: round(float(v), 6)
                                     for k, v in metrics.items()}}) + '\n')
-                means = {k: v / n for k, v in sums.items()}
+                sums = jax.device_get(sums) if sums else {}
+                means = {k: float(v) / n for k, v in sums.items()}
 
                 val_means = {}
                 if val_gen is not None:
-                    vsums, vn = {}, 0
+                    vsums, vn = None, 0
                     for _ in range(cfg.VALIDATION_STEPS):
                         key, sub = jax.random.split(key)
                         batch = parallel.shard_batch(self.mesh,
                                                      next(val_gen))
                         m = eval_step(self.state, batch, sub)
                         vn += 1
-                        for k, v in m.items():
-                            vsums[k] = vsums.get(k, 0.0) + float(v)
-                    val_means = {f"val_{k}": v / vn
+                        vsums = m if vsums is None else acc(vsums, m)
+                    vsums = jax.device_get(vsums) if vsums else {}
+                    val_means = {f"val_{k}": float(v) / vn
                                  for k, v in vsums.items()}
 
                 dt = time.time() - t0
