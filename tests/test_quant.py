@@ -103,6 +103,37 @@ def test_quant_requires_calibration():
         qm(imgs)
 
 
+def test_quant_store_roundtrip(tmp_path):
+    config, model, variables, imgs = _make('resnet18')
+    from ursonet_tpu.checkpoint.quant_store import load_quantized, \
+        save_quantized
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    qm.calibrate(imgs)
+    ref = {k: np.asarray(v) for k, v in qm(imgs).items()}
+    path = str(tmp_path / 'model_int8.msgpack')
+    save_quantized(path, qm)
+    qm2 = load_quantized(path, config)
+    out = {k: np.asarray(v) for k, v in qm2(imgs).items()}
+    for k in ref:  # int8-kernel storage pins the exact quantized weights
+        rel = (np.linalg.norm(out[k] - ref[k])
+               / (np.linalg.norm(ref[k]) + 1e-9))
+        assert rel < 1e-5, f'{k}: {rel}'
+    # config mismatch is rejected
+    config.BACKBONE = 'resnet50'
+    with pytest.raises(ValueError):
+        load_quantized(path, config)
+
+
+def test_quant_store_requires_calibration(tmp_path):
+    config, model, variables, imgs = _make('resnet18')
+    from ursonet_tpu.checkpoint.quant_store import save_quantized
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    with pytest.raises(ValueError):
+        save_quantized(str(tmp_path / 'x.msgpack'), qm)
+
+
 def test_quant_rejects_train_bn():
     config, model, variables, imgs = _make('resnet18')
     config.TRAIN_BN = True

@@ -1,0 +1,99 @@
+"""Quantized-serving artifact: save/load a calibrated int8 model.
+
+Stores, per conv/dense site, the ALREADY-QUANTIZED int8 kernel with its
+per-channel f32 scale and f32 bias, plus the calibrated activation
+scales — so a serving process loads and runs the int8 path
+(models/quant.py) without re-folding BN or re-running calibration, and
+the artifact pins the exact int8 weights (requantization of the
+dequantized kernel reproduces them bit-for-bit: every channel's max
+|w8| is 127 by construction, so the recomputed scale equals the stored
+one). Sites that execute in FLOAT at serving time (the final head
+denses, models/quant.py dense_final) store f32 kernels — tiny and
+accuracy-critical. File size ≈ 1 byte/backbone-weight.
+
+No reference counterpart (the reference serves f16 Keras h5 weights,
+net.py:589-593); this is the serving-deployment format of the
+TPU framework.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+from flax import serialization
+
+from ursonet_tpu.checkpoint.store import _atomic_write
+
+
+def _is_float_site(site: str) -> bool:
+    """Head sites that run in float at serving time (dense_final)."""
+    return '_head/' in site and '_dense_' not in site
+
+
+def save_quantized(path: str, qmodel) -> None:
+    """Write a calibrated QuantizedModel to `path` (msgpack, atomic)."""
+    if qmodel.act_scales is None:
+        raise ValueError('calibrate() the model before saving')
+    flat_out = {}
+    for site, (w, b) in qmodel.flat.items():
+        w = np.asarray(w, np.float32)
+        b = np.asarray(b, np.float32)
+        if _is_float_site(site):
+            flat_out[site] = {'kernel': w, 'bias': b}
+        else:  # same per-channel scheme as models/quant.py Int8Ops
+            axes = tuple(range(w.ndim - 1))
+            sw = np.maximum(np.abs(w).max(axis=axes), 1e-12) / 127.0
+            w8 = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+            flat_out[site] = {'kernel_q': w8,
+                              'scale': sw.astype(np.float32), 'bias': b}
+    tree = {
+        'format': 'ursonet-int8-ptq-v1',
+        'mcfg': dict(qmodel._mcfg),
+        'act_scales': {k: np.float32(v)
+                       for k, v in qmodel.act_scales.items()},
+        'flat': flat_out,
+    }
+    _atomic_write(path, serialization.msgpack_serialize(tree))
+
+
+def load_quantized(path: str, config):
+    """Load a serving artifact saved by save_quantized; returns a ready
+    (calibrated) QuantizedModel."""
+    from ursonet_tpu.models.quant import QuantizedModel
+    with open(path, 'rb') as f:
+        tree = serialization.msgpack_restore(f.read())
+    if tree.get('format') != 'ursonet-int8-ptq-v1':
+        raise ValueError(f'not an int8-PTQ artifact: {path}')
+    mcfg = tree['mcfg']
+    for key, val in mcfg.items():
+        want = getattr(config, _CONFIG_KEYS[key], None)
+        if want is not None and want != val:
+            raise ValueError(
+                f'artifact/config mismatch on {key}: {val!r} != {want!r}')
+    flat = {}
+    for site, node in tree['flat'].items():
+        b = np.asarray(node['bias'], np.float32)
+        if 'kernel_q' in node:
+            # dequantize; Int8Ops re-quantizes this exactly (see module
+            # docstring)
+            w = (np.asarray(node['kernel_q'], np.float32)
+                 * np.asarray(node['scale'], np.float32))
+        else:
+            w = np.asarray(node['kernel'], np.float32)
+        flat[site] = (w, b)
+    qm = QuantizedModel(config, flat)
+    qm.act_scales = {k: float(v) for k, v in tree['act_scales'].items()}
+    return qm
+
+
+_CONFIG_KEYS: Dict[str, str] = {
+    'backbone': 'BACKBONE',
+    'nr_dense_layers': 'NR_DENSE_LAYERS',
+    'regress_loc': 'REGRESS_LOC',
+    'regress_ori': 'REGRESS_ORI',
+    'regress_keypoints': 'REGRESS_KEYPOINTS',
+    'orientation_param': 'ORIENTATION_PARAM',
+    'loc_bins': 'LOC_BINS_PER_DIM',
+    'ori_bins': 'ORI_BINS_PER_DIM',
+}
