@@ -112,6 +112,41 @@ def test_tp_head_kernel_is_sharded(rng):
     assert shard_shape[-1] * 4 == k.shape[-1]
 
 
+def test_detect_sharded_matches_single_device(rng, tmp_path):
+    """Inference is data-parallel over the mesh: engine.detect under a
+    4×2 mesh must reproduce single-device outputs from the same
+    weights (float and int8 paths)."""
+    from ursonet_tpu.engine import UrsoNet
+
+    def make_engine(mesh_data, mesh_model, per_gpu):
+        cfg = TinyConfig()
+        cfg.IMAGES_PER_GPU = per_gpu
+        cfg.MESH_DATA, cfg.MESH_MODEL = mesh_data, mesh_model
+        cfg.IMAGE_RESIZE_MODE = 'none'
+        cfg.update()
+        eng = UrsoNet('inference', cfg, str(tmp_path))
+        eng.initialize(seed=0)
+        return eng
+
+    images = [np.asarray(rng.rand(64, 64, 3) * 255, np.float32)
+              for _ in range(8)]
+    e1 = make_engine(1, 1, 8)
+    ref = e1.detect(images)
+    e8 = make_engine(4, 2, 2)
+    out = e8.detect(images)
+    for r, o in zip(ref, out):
+        for k in r:
+            np.testing.assert_allclose(o[k], r[k], rtol=2e-4, atol=2e-5)
+
+    # int8 path under the mesh
+    e8.quantize()
+    qout = e8.detect(images)
+    for r, o in zip(ref, qout):
+        rel = (np.linalg.norm(o['loc'] - r['loc'])
+               / (np.linalg.norm(r['loc']) + 1e-9))
+        assert rel < 0.2
+
+
 def test_trainable_mask_presets(rng):
     cfg = TinyConfig()
     cfg.BACKBONE = 'resnet50'

@@ -362,14 +362,21 @@ class UrsoNet:
         molded, metas, _ = self.mold_inputs(images)
         shapes = {m.shape for m in molded}
         assert len(shapes) == 1, "images must mold to a single shape"
+        # Shard the batch over the mesh 'data' axis: inference is
+        # data-parallel over ICI exactly like training.
+        if self.mesh.size > 1:
+            molded = jax.device_put(np.asarray(molded),
+                                    parallel.batch_sharding(self.mesh))
+        else:
+            molded = jnp.asarray(molded)
         if self._qmodel is not None:
             if self._qmodel.act_scales is None:  # lazy calibration
                 self._qmodel.calibrate(molded)
-            outputs = self._qmodel(jnp.asarray(molded))
+            outputs = self._qmodel(molded)
         else:
             outputs = self._predict(self.state.params,
                                     self.state.batch_stats,
-                                    jnp.asarray(molded))
+                                    molded)
         outputs = {k: np.asarray(v) for k, v in outputs.items()}
         results = []
         for i in range(len(images)):
