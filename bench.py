@@ -85,8 +85,7 @@ def main():
     # device loops hang on the axon remote platform; plain queued
     # dispatches are reliable.)
     if quant:
-        from ursonet_tpu.models.quant import Int8Ops, QuantizedModel, \
-            twin_forward
+        from ursonet_tpu.models.quant import QuantizedModel
         qm = QuantizedModel.from_variables(config, params, batch_stats)
         qm.calibrate(images[:8])
         # Accuracy gate: int8 must track the float model on this batch.
@@ -97,12 +96,10 @@ def main():
             rel = (np.linalg.norm(out[k] - ref[k])
                    / (np.linalg.norm(ref[k]) + 1e-9))
             assert rel < 0.15, f"int8 accuracy gate failed on {k}: {rel}"
-        ops = Int8Ops(qm.flat, qm.act_scales, qm.acc_dtype)
-        mcfg = qm._mcfg
 
         @jax.jit
         def forward(images):
-            out = twin_forward(ops, images, mcfg)
+            out = qm(images)  # int8 twin, inlined into this one program
             return sum(jnp.sum(v.astype(jnp.float32))
                        for v in out.values())
         metric = "resnet50_512x640_int8_infer"

@@ -16,7 +16,8 @@ from ursonet_tpu.config import Config
 
 __version__ = "0.1.0"
 
-__all__ = ["Config", "UrsoNet", "evaluate", "__version__"]
+__all__ = ["Config", "UrsoNet", "QuantizedModel", "evaluate",
+           "__version__"]
 
 
 def __getattr__(name):
@@ -25,6 +26,9 @@ def __getattr__(name):
     if name == "UrsoNet":
         from ursonet_tpu.engine import UrsoNet
         return UrsoNet
+    if name == "QuantizedModel":
+        from ursonet_tpu.models.quant import QuantizedModel
+        return QuantizedModel
     if name == "evaluate":
         from ursonet_tpu import evaluate
         return evaluate

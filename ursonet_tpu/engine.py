@@ -334,6 +334,25 @@ class UrsoNet:
             self._qmodel.calibrate(molded)
         return self._qmodel
 
+    def predict_molded(self, molded):
+        """Forward a molded [B,H,W,3] batch through the serving path —
+        the int8 quantized model after quantize(), the float jit
+        otherwise — with the batch sharded over the mesh 'data' axis.
+        Single entry point for detect()/evaluate/video."""
+        if self.state is None:
+            self.initialize()
+        if self.mesh.size > 1:
+            molded = jax.device_put(np.asarray(molded),
+                                    parallel.batch_sharding(self.mesh))
+        else:
+            molded = jnp.asarray(molded)
+        if self._qmodel is not None:
+            if self._qmodel.act_scales is None:  # lazy calibration
+                self._qmodel.calibrate(molded)
+            return self._qmodel(molded)
+        return self._predict(self.state.params, self.state.batch_stats,
+                             molded)
+
     def mold_inputs(self, images: Sequence[np.ndarray]):
         """Resize + mean-subtract + meta for a list of raw images
         (reference net.py:1169-1205)."""
@@ -362,21 +381,7 @@ class UrsoNet:
         molded, metas, _ = self.mold_inputs(images)
         shapes = {m.shape for m in molded}
         assert len(shapes) == 1, "images must mold to a single shape"
-        # Shard the batch over the mesh 'data' axis: inference is
-        # data-parallel over ICI exactly like training.
-        if self.mesh.size > 1:
-            molded = jax.device_put(np.asarray(molded),
-                                    parallel.batch_sharding(self.mesh))
-        else:
-            molded = jnp.asarray(molded)
-        if self._qmodel is not None:
-            if self._qmodel.act_scales is None:  # lazy calibration
-                self._qmodel.calibrate(molded)
-            outputs = self._qmodel(molded)
-        else:
-            outputs = self._predict(self.state.params,
-                                    self.state.batch_stats,
-                                    molded)
+        outputs = self.predict_molded(molded)
         outputs = {k: np.asarray(v) for k, v in outputs.items()}
         results = []
         for i in range(len(images)):

@@ -38,8 +38,7 @@ def _batched_forward(engine, dataset, image_ids):
         chunk_ids = chunk + [chunk[-1]] * pad
         images = [dataset.load_image(j) for j in chunk_ids]
         molded, metas, _ = engine.mold_inputs(images)
-        raw = engine._predict(engine.state.params, engine.state.batch_stats,
-                              jnp.asarray(molded))
+        raw = engine.predict_molded(molded)
         raw = {k: np.asarray(v) for k, v in raw.items()}
         if pad:
             raw = {k: v[:len(chunk)] for k, v in raw.items()}
@@ -164,8 +163,7 @@ def evaluate_image(engine, dataset, image_id: int,
     image = dataset.load_image(image_id)
     images = [image] * cfg.BATCH_SIZE
     molded, metas, _ = engine.mold_inputs(images)
-    raw = engine._predict(engine.state.params, engine.state.batch_stats,
-                          jnp.asarray(molded))
+    raw = engine.predict_molded(molded)
     raw = {k: np.asarray(v)[:1] for k, v in raw.items()}
     loc_est, q_est = decode_results(raw, cfg, dataset)
     loc_gt = np.asarray(dataset.load_location(image_id), np.float64)

@@ -109,8 +109,7 @@ def detect_video(engine, dataset, video_path: str,
         pad = bs - len(buf)
         batch = buf + [buf[-1]] * pad
         molded, metas, _ = engine.mold_inputs(batch)
-        raw = engine._predict(engine.state.params, engine.state.batch_stats,
-                              jnp.asarray(molded))
+        raw = engine.predict_molded(molded)
         raw = {k: np.asarray(v)[:len(buf)] for k, v in raw.items()}
         locs, qs = decode_results(raw, cfg, dataset)
         for i, frame in enumerate(buf):
