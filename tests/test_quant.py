@@ -72,9 +72,13 @@ def test_float_twin_head_modes(mode):
                                    rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize('backbone', ['resnet18', 'resnet50'])
-def test_int8_close_to_float(backbone):
-    config, model, variables, imgs = _make(backbone)
+@pytest.mark.parametrize('backbone,mode', [
+    ('resnet18', 'regression'), ('resnet50', 'regression'),
+    ('resnet18', 'classification')])
+def test_int8_close_to_float(backbone, mode):
+    kw = {} if mode == 'regression' \
+        else dict(regress_loc=False, regress_ori=False)
+    config, model, variables, imgs = _make(backbone, **kw)
     qm = QuantizedModel.from_variables(
         config, variables['params'], variables['batch_stats'])
     ref = {k: np.asarray(v) for k, v in qm.float_twin(imgs).items()}
@@ -103,8 +107,11 @@ def test_quant_requires_calibration():
         qm(imgs)
 
 
-def test_quant_store_roundtrip(tmp_path):
-    config, model, variables, imgs = _make('resnet18')
+@pytest.mark.parametrize('mode', ['regression', 'classification'])
+def test_quant_store_roundtrip(tmp_path, mode):
+    kw = {} if mode == 'regression' \
+        else dict(regress_loc=False, regress_ori=False)
+    config, model, variables, imgs = _make('resnet18', **kw)
     from ursonet_tpu.checkpoint.quant_store import load_quantized, \
         save_quantized
     qm = QuantizedModel.from_variables(

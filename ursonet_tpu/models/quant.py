@@ -335,20 +335,27 @@ def twin_forward(ops, images, mcfg: dict) -> Dict[str, jnp.ndarray]:
     y = ops.conv(y, 'bottleneck_layer', 2, 'SAME')
     feats = ops.flatten(y, 'bottleneck/out')
 
-    def dense_stack(prefix):
-        """Hidden dense stack; the LAST hidden relu is not requantized —
-        it feeds the float final dense (Int8Ops.dense_final)."""
+    def dense_stack(prefix, quant_last):
+        """Hidden dense stack. The LAST hidden relu requantizes only when
+        the final dense runs int8 (quant_last); regression finals are
+        float (Int8Ops.dense_final) and take the float relu output."""
         h = feats
         n = mcfg['nr_dense_layers']
         for i in range(n):
             site = f'{prefix}_head/{prefix}_dense_{i}'
             h = ops.dense(h, site)
-            h = ops.relu(h, site + '/out' if i < n - 1 else None)
+            keep_q = quant_last or i < n - 1
+            h = ops.relu(h, site + '/out' if keep_q else None)
         return h
 
     def head(prefix, final_site, final_act):
-        h = dense_stack(prefix)
-        h = ops.dense_final(h, f'{prefix}_head/{final_site}')
+        # Classification finals (ReLU over bins³ logits — the LARGEST
+        # matmul of those configs, e.g. 1024×64³) quantize like any
+        # other layer; the tiny regression/quaternion finals run float.
+        quant_final = final_act == 'relu'
+        h = dense_stack(prefix, quant_final)
+        site = f'{prefix}_head/{final_site}'
+        h = ops.dense(h, site) if quant_final else ops.dense_final(h, site)
         if final_act == 'relu':
             h = ops.relu(h)
         elif final_act == 'l2norm':
@@ -357,7 +364,7 @@ def twin_forward(ops, images, mcfg: dict) -> Dict[str, jnp.ndarray]:
 
     out: Dict[str, jnp.ndarray] = {}
     if mcfg['regress_keypoints']:
-        h = dense_stack('loc')
+        h = dense_stack('loc', quant_last=False)
         out['loc'] = ops.dense_final(h, 'loc_head/k1_final')
         out['k1'] = ops.dense_final(h, 'loc_head/k2_final')
         out['k2'] = ops.dense_final(h, 'loc_head/k3_final')
