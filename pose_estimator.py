@@ -35,7 +35,8 @@ RELEASED_MODELS = {'soyuz_hard', 'dragon_hard', 'speed'}
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("command", metavar="<command>",
-                   help="'train', 'test', 'evaluate' or 'submit'")
+                   help="'train', 'test', 'evaluate', 'submit' or "
+                        "'export'")
     p.add_argument('--backbone', default='resnet50',
                    help='resnet18/34/50/101')
     p.add_argument('--dataset', required=True, help='Dataset name')
@@ -241,6 +242,32 @@ def main(argv=None):
             raise SystemExit("--int8 is an inference-serving flag; "
                              "training runs bf16/f32")
         engine.quantize()  # calibrates lazily on the first detect batch
+
+    if args.command == 'export':
+        # Serving/interop artifacts: Keras-h5 weights (round-trips with
+        # the import bridge) and, with --int8, a calibrated quantized
+        # serving artifact (checkpoint/quant_store.py).
+        from ursonet_tpu.checkpoint.h5_import import save_keras_h5
+        if engine.state is None:
+            engine.initialize()
+        os.makedirs(args.out_dir, exist_ok=True)
+        h5_path = os.path.join(args.out_dir, f'{config.NAME}_weights.h5')
+        save_keras_h5(h5_path, engine.state.params,
+                      engine.state.batch_stats)
+        print(f"Keras-h5 weights written to {h5_path}")
+        if args.int8:
+            from ursonet_tpu.checkpoint.quant_store import save_quantized
+            subset = 'val' if args.dataset == 'speed' else 'test'
+            (dataset,) = load_datasets(args, config, (subset,))
+            ids = list(dataset.image_ids[:config.BATCH_SIZE])
+            ids += [ids[-1]] * (config.BATCH_SIZE - len(ids))
+            images = [dataset.load_image(i) for i in ids]
+            molded, _, _ = engine.mold_inputs(images)
+            engine._qmodel.calibrate(molded)
+            q_path = os.path.join(args.out_dir, f'{config.NAME}_int8.msgpack')
+            save_quantized(q_path, engine._qmodel)
+            print(f"int8 serving artifact written to {q_path}")
+        return 0
 
     if args.command == 'train':
         if args.dataset == 'speed':

@@ -63,6 +63,20 @@ def test_cli_train_then_evaluate_then_test(urso_env, capsys):
     assert rc == 0
     assert 'ESA score' in capsys.readouterr().out
 
+    # export: Keras-h5 + calibrated int8 serving artifact
+    rc = pose_estimator.main(_args(urso_env, 'export',
+                                   '--weights', 'last', '--int8'))
+    assert rc == 0
+    h5 = os.path.join(urso_env['out'], 'soyuz_tiny_weights.h5')
+    q = os.path.join(urso_env['out'], 'soyuz_tiny_int8.msgpack')
+    assert os.path.exists(h5) and os.path.exists(q)
+    from ursonet_tpu.checkpoint.quant_store import load_quantized
+    ns = pose_estimator.build_parser().parse_args(
+        _args(urso_env, 'export', '--weights', 'last'))
+    qm = load_quantized(q, pose_estimator.make_config(ns))
+    out = qm(np.zeros((2, 96, 128, 3), np.float32))
+    assert set(out) == {'loc', 'ori'}
+
 
 def test_cli_submit_speed(tmp_path, capsys):
     data_dir = tmp_path / 'datasets'
