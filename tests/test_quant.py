@@ -55,13 +55,15 @@ def test_float_twin_matches_model(backbone):
 
 
 @pytest.mark.parametrize('mode', ['classification', 'quaternion',
-                                  'keypoints'])
+                                  'euler_angles', 'keypoints'])
 def test_float_twin_head_modes(mode):
     kw = dict(backbone='resnet18')
     if mode == 'classification':
         kw.update(regress_loc=False, regress_ori=False)
     elif mode == 'keypoints':
         kw.update(keypoints=True)
+    elif mode == 'euler_angles':
+        kw.update(ori_param='euler_angles')
     config, model, variables, imgs = _make(**kw)
     ref = model.apply(variables, imgs, training=False)
     qm = QuantizedModel.from_variables(
