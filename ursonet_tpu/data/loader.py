@@ -371,9 +371,14 @@ def make_device_preprocess(config, dataset):
     return preprocess
 
 
+_DONE = object()  # Prefetcher end-of-stream sentinel
+
+
 class Prefetcher:
     """Background-thread prefetch wrapping a generator (replaces the
-    reference's multiprocessing worker pool, net.py:1147-1163)."""
+    reference's multiprocessing worker pool, net.py:1147-1163). Handles
+    both infinite generators (training) and finite ones (evaluation
+    chunk streams)."""
 
     def __init__(self, it: Iterator, depth: int = 8):
         self._it = it
@@ -388,13 +393,13 @@ class Prefetcher:
                 self._q.put(item)
         except Exception as e:  # propagate to consumer
             self._err = e
-            self._q.put(None)
+        self._q.put(_DONE)
 
     def __iter__(self):
         return self
 
     def __next__(self):
         item = self._q.get()
-        if item is None:
+        if item is _DONE:
             raise self._err if self._err else StopIteration
         return item

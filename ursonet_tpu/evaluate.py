@@ -28,21 +28,34 @@ from ursonet_tpu.ops import decode as D
 def _batched_forward(engine, dataset, image_ids):
     """Mold + forward the given ids in BATCH_SIZE chunks; returns stacked
     raw head outputs (order matches image_ids; the tail batch is padded
-    and trimmed — static shapes for XLA)."""
+    and trimmed — static shapes for XLA).
+
+    Host decode+mold runs in a prefetch thread overlapped with the
+    device forward, and the per-chunk device->host fetch is deferred one
+    chunk (chunk k+1 dispatches before chunk k's outputs are pulled), so
+    neither side ever waits on the other at steady state."""
+    from ursonet_tpu.data.loader import Prefetcher
     cfg = engine.config
     bs = cfg.BATCH_SIZE
+
+    def molded_chunks():
+        for i in range(0, len(image_ids), bs):
+            chunk = list(image_ids[i:i + bs])
+            chunk_ids = chunk + [chunk[-1]] * (bs - len(chunk))
+            images = [dataset.load_image(j) for j in chunk_ids]
+            molded, _, _ = engine.mold_inputs(images)
+            yield len(chunk), molded
+
     outs = []
-    for i in range(0, len(image_ids), bs):
-        chunk = list(image_ids[i:i + bs])
-        pad = bs - len(chunk)
-        chunk_ids = chunk + [chunk[-1]] * pad
-        images = [dataset.load_image(j) for j in chunk_ids]
-        molded, metas, _ = engine.mold_inputs(images)
+    pending = None  # (n, device outputs) — fetched one chunk late
+    for n, molded in Prefetcher(molded_chunks(), depth=2):
         raw = engine.predict_molded(molded)
-        raw = {k: np.asarray(v) for k, v in raw.items()}
-        if pad:
-            raw = {k: v[:len(chunk)] for k, v in raw.items()}
-        outs.append(raw)
+        if pending is not None:
+            pn, praw = pending
+            outs.append({k: np.asarray(v)[:pn] for k, v in praw.items()})
+        pending = (n, raw)
+    pn, praw = pending
+    outs.append({k: np.asarray(v)[:pn] for k, v in praw.items()})
     return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
 
