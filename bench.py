@@ -45,9 +45,10 @@ def main():
     iters = int(os.environ.get('BENCH_ITERS', '20'))
     h, w = (int(x) for x in os.environ.get('BENCH_IMAGE', '512,640')
             .split(','))
+    backbone = os.environ.get('BENCH_BACKBONE', 'resnet50')
 
     config = Config()
-    config.BACKBONE = 'resnet50'
+    config.BACKBONE = backbone
     config.BOTTLENECK_WIDTH = 128
     config.BRANCH_SIZE = 1024
     config.REGRESS_LOC = True
@@ -102,7 +103,7 @@ def main():
             out = qm(images)  # int8 twin, inlined into this one program
             return sum(jnp.sum(v.astype(jnp.float32))
                        for v in out.values())
-        metric = "resnet50_512x640_int8_infer"
+        metric = f"{backbone}_{h}x{w}_int8_infer"
     else:
         @jax.jit
         def forward(images):
@@ -111,7 +112,7 @@ def main():
                 images, training=False)
             return sum(jnp.sum(v.astype(jnp.float32))
                        for v in out.values())
-        metric = "resnet50_512x640_bf16_infer"
+        metric = f"{backbone}_{h}x{w}_bf16_infer"
 
     # Warmup / compile.
     s = float(forward(images))

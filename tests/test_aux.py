@@ -4,6 +4,7 @@ profiling/FLOPs hooks (#31), Kendall learnable loss weights."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ursonet_tpu.config import Config
 
@@ -168,3 +169,55 @@ def test_space_to_depth_stem_equivalence():
                             training=False)
         np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_s2d),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_hbm_preflight_estimate():
+    """Pre-flight HBM estimate (utils/memory.py): calibrated against two
+    real v5e compiles — a config that OOM'd and one that ran."""
+    from ursonet_tpu.utils.memory import (check_train_memory,
+                                          estimate_train_hbm_gb)
+
+    def mk(backbone, h, w, b, f16, remat=False):
+        c = Config()
+        c.BACKBONE = backbone
+        c.IMAGE_RESIZE_MODE = 'pad64'
+        c.IMAGE_MIN_DIM = h
+        c.IMAGE_MAX_DIM = w
+        c.IMAGES_PER_GPU = b
+        c.F16 = f16
+        c.REMAT = remat
+        c.BOTTLENECK_WIDTH = 32
+        c.BRANCH_SIZE = 256
+        c.REGRESS_LOC = True
+        c.REGRESS_ORI = True
+        c.update()
+        return c
+
+    # known-OOM config (resnet18, 960x1280, batch 32, f32) must warn
+    warnings = []
+    oom_est = check_train_memory(mk('resnet18', 960, 1280, 32, False),
+                                 log_fn=warnings.append)
+    assert oom_est > 0.6 * 16.0 and warnings
+
+    # known-good small config must not warn
+    warnings = []
+    est = check_train_memory(mk('resnet18', 192, 256, 32, False),
+                             log_fn=warnings.append)
+    assert est < 1.0 and not warnings
+
+    # REMAT slashes the saved-activation term
+    full = estimate_train_hbm_gb(mk('resnet50', 512, 640, 128, True))
+    remat = estimate_train_hbm_gb(mk('resnet50', 512, 640, 128, True,
+                                     remat=True))
+    assert remat < 0.3 * full
+
+    # IMAGES_PER_GPU is per-chip: adding data-parallel chips grows the
+    # GLOBAL batch, so the per-chip estimate (and the warning) is
+    # unchanged
+    cfg = mk('resnet18', 960, 1280, 32, False)
+    cfg.MESH_DATA = 8
+    cfg.update()
+    warnings = []
+    est8 = check_train_memory(cfg, log_fn=warnings.append)
+    # (replicated params are divided too — acceptable for a lower bound)
+    assert warnings and est8 / 8 == pytest.approx(oom_est, rel=0.05)

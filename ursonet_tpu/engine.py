@@ -204,6 +204,9 @@ class UrsoNet:
         if self.state is None:
             self.initialize()
 
+        from ursonet_tpu.utils.memory import check_train_memory
+        check_train_memory(cfg, log_fn=log_fn)
+
         mask = trainable_mask(jax.device_get(self.state.params), layers)
         preprocess = None
         raw = bool(getattr(cfg, 'AUGMENT_ON_DEVICE', False))
