@@ -120,6 +120,12 @@ def test_partial_load_with_exclusion(urso_dir, tmp_path):
     head2 = np.asarray(engine2.state.params['ori_head']['ori_q']['kernel'])
     np.testing.assert_array_equal(fresh_head, head2)
 
+    # loading weights invalidates a previously built quantized model
+    engine2.quantize()
+    assert engine2._qmodel is not None
+    engine2.load_weights(wpath)
+    assert engine2._qmodel is None
+
 
 def test_h5_import_by_name(tmp_path):
     """A synthetic Keras-layout h5 maps into the Flax tree by layer name,

@@ -131,6 +131,7 @@ class UrsoNet:
 
     def _set_weights(self, params, batch_stats):
         """Install host weight trees into a fresh sharded state."""
+        self._qmodel = None  # quantized model derives from old weights
         var_sh = parallel.variable_shardings(
             self.mesh, jax.eval_shape(
                 lambda r: self.model.init(r, self._sample_images()[:1],
