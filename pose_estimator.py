@@ -260,12 +260,15 @@ def main(argv=None):
             subset = 'val' if args.dataset == 'speed' else 'test'
             (dataset,) = load_datasets(args, config, (subset,))
             ids = list(dataset.image_ids[:config.BATCH_SIZE])
+            if not ids:
+                raise SystemExit(
+                    f"export --int8: no images in the '{subset}' subset "
+                    "to calibrate on")
             ids += [ids[-1]] * (config.BATCH_SIZE - len(ids))
             images = [dataset.load_image(i) for i in ids]
-            molded, _, _ = engine.mold_inputs(images)
-            engine._qmodel.calibrate(molded)
+            qmodel = engine.quantize(images)  # rebuild + calibrate
             q_path = os.path.join(args.out_dir, f'{config.NAME}_int8.msgpack')
-            save_quantized(q_path, engine._qmodel)
+            save_quantized(q_path, qmodel)
             print(f"int8 serving artifact written to {q_path}")
         return 0
 

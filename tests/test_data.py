@@ -328,3 +328,27 @@ def test_native_loader_matches_python_path(tmp_path):
     np.testing.assert_array_equal(b_native['location'], b_py['location'])
     np.testing.assert_array_equal(b_native['quaternion'],
                                   b_py['quaternion'])
+
+
+def test_prefetcher_finite_stream_exhausts_cleanly():
+    """Prefetcher over a finite generator yields everything, raises
+    StopIteration at the end, and KEEPS raising on further next() calls
+    (iterator protocol) instead of blocking forever."""
+    from ursonet_tpu.data.loader import Prefetcher
+
+    pf = Prefetcher(iter(range(5)), depth=2)
+    assert list(pf) == [0, 1, 2, 3, 4]
+    import pytest
+    with pytest.raises(StopIteration):
+        next(pf)
+    with pytest.raises(StopIteration):
+        next(pf)
+
+    # errors propagate
+    def boom():
+        yield 1
+        raise RuntimeError('boom')
+    pf = Prefetcher(boom(), depth=2)
+    assert next(pf) == 1
+    with pytest.raises(RuntimeError):
+        next(pf)

@@ -149,3 +149,16 @@ def test_quant_rejects_train_bn():
     with pytest.raises(NotImplementedError):
         QuantizedModel.from_variables(
             config, variables['params'], variables['batch_stats'])
+
+
+def test_calibration_on_zero_activations_is_safe():
+    """A site calibrating to max|x| == 0 (e.g. all-black batch) must not
+    divide by zero — outputs stay finite (bias-only), never NaN."""
+    config, model, variables, imgs = _make('resnet18')
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    zeros = jnp.zeros_like(imgs)
+    qm.calibrate(zeros)
+    out = qm(zeros)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k

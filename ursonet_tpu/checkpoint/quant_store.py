@@ -54,12 +54,10 @@ def save_quantized(path: str, qmodel) -> None:
         b = np.asarray(b, np.float32)
         if site in float_sites:
             flat_out[site] = {'kernel': w, 'bias': b}
-        else:  # same per-channel scheme as models/quant.py Int8Ops
-            axes = tuple(range(w.ndim - 1))
-            sw = np.maximum(np.abs(w).max(axis=axes), 1e-12) / 127.0
-            w8 = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
-            flat_out[site] = {'kernel_q': w8,
-                              'scale': sw.astype(np.float32), 'bias': b}
+        else:  # the exact scheme Int8Ops applies at serving time
+            from ursonet_tpu.models.quant import quantize_weight
+            w8, sw = quantize_weight(w)
+            flat_out[site] = {'kernel_q': w8, 'scale': sw, 'bias': b}
     tree = {
         'format': 'ursonet-int8-ptq-v1',
         'mcfg': dict(qmodel._mcfg),

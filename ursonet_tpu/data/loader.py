@@ -399,7 +399,10 @@ class Prefetcher:
         return self
 
     def __next__(self):
+        if getattr(self, '_exhausted', False):  # iterator protocol:
+            raise StopIteration                 # keep raising, not block
         item = self._q.get()
         if item is _DONE:
+            self._exhausted = True
             raise self._err if self._err else StopIteration
         return item

@@ -35,6 +35,8 @@ def _batched_forward(engine, dataset, image_ids):
     chunk (chunk k+1 dispatches before chunk k's outputs are pulled), so
     neither side ever waits on the other at steady state."""
     from ursonet_tpu.data.loader import Prefetcher
+    if not len(image_ids):
+        raise ValueError("no images to evaluate (empty dataset subset)")
     cfg = engine.config
     bs = cfg.BATCH_SIZE
 

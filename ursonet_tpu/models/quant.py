@@ -166,6 +166,19 @@ class CalibOps(F32Ops):
         return self._observe(site, super().flatten(x, site))
 
 
+def quantize_weight(w):
+    """Per-output-channel symmetric int8 quantization of a kernel.
+    Single source of truth shared by Int8Ops and the serving artifact
+    (checkpoint/quant_store.py) — the artifact's bit-exact round-trip
+    depends on both using the identical formula.
+    Returns (w8 int8, scale f32[Cout])."""
+    w = np.asarray(w, np.float32)
+    axes = tuple(range(w.ndim - 1))
+    sw = np.maximum(np.abs(w).max(axis=axes), 1e-12) / 127.0
+    w8 = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+    return w8, sw.astype(np.float32)
+
+
 class _QT:
     """A quantized activation: int8 array + its dequantization scale.
     Scales travel WITH the tensor (a mutable current-scale would cross
@@ -186,15 +199,15 @@ class Int8Ops:
 
     def __init__(self, flat, act_scales, acc_dtype=jnp.float32):
         self.dt = acc_dtype
-        self.scales = {k: float(v) for k, v in act_scales.items()}
+        # Clamp: a site whose calibration batch produced all-zero
+        # activations (dead ReLU on a small batch) must not divide by 0.
+        self.scales = {k: max(float(v), 1e-10)
+                       for k, v in act_scales.items()}
         self.flat = flat
         self.q = {}
         for site, (w, b) in flat.items():
-            axes = tuple(range(w.ndim - 1))
-            sw = np.maximum(np.abs(w).max(axis=axes), 1e-12) / 127.0
-            self.q[site] = (jnp.asarray(np.clip(np.round(w / sw), -127, 127)
-                                        .astype(np.int8)),
-                            jnp.asarray(sw, np.float32),
+            w8, sw = quantize_weight(w)
+            self.q[site] = (jnp.asarray(w8), jnp.asarray(sw),
                             jnp.asarray(b, np.float32))
 
     def _q8(self, x, site):

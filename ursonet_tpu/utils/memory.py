@@ -66,7 +66,11 @@ def _param_count(architecture: str, config) -> float:
     n_heads = 1 if config.REGRESS_KEYPOINTS else 2
     out = (config.ORI_BINS_PER_DIM ** 3
            if not config.REGRESS_ORI else 4)
-    p += n_heads * config.NR_DENSE_LAYERS * feats * config.BRANCH_SIZE
+    if config.NR_DENSE_LAYERS > 0:
+        # first hidden dense consumes feats; the rest are BRANCH_SIZE²
+        p += n_heads * (feats * config.BRANCH_SIZE
+                        + (config.NR_DENSE_LAYERS - 1)
+                        * config.BRANCH_SIZE ** 2)
     p += config.BRANCH_SIZE * (3 + out)
     return p
 
