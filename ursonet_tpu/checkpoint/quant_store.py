@@ -26,33 +26,17 @@ from flax import serialization
 from ursonet_tpu.checkpoint.store import _atomic_write
 
 
-def _float_sites(mcfg) -> set:
-    """Sites that run in FLOAT at serving time (models/quant.py: the
-    regression/quaternion/keypoint finals; classification finals are
-    int8 like everything else)."""
-    if mcfg['regress_keypoints']:
-        return {'loc_head/k1_final', 'loc_head/k2_final',
-                'loc_head/k3_final'}
-    sites = set()
-    if mcfg['regress_loc']:
-        sites.add('loc_head/loc_final')
-    if mcfg['regress_ori']:
-        sites.add('ori_head/ori_q'
-                  if mcfg['orientation_param'] == 'quaternion'
-                  else 'ori_head/ori_final')
-    return sites
-
-
 def save_quantized(path: str, qmodel) -> None:
     """Write a calibrated QuantizedModel to `path` (msgpack, atomic)."""
+    from ursonet_tpu.models.quant import float_sites
     if qmodel.act_scales is None:
         raise ValueError('calibrate() the model before saving')
-    float_sites = _float_sites(qmodel._mcfg)
+    fsites = float_sites(qmodel._mcfg)
     flat_out = {}
     for site, (w, b) in qmodel.flat.items():
         w = np.asarray(w, np.float32)
         b = np.asarray(b, np.float32)
-        if site in float_sites:
+        if site in fsites:
             flat_out[site] = {'kernel': w, 'bias': b}
         else:  # the exact scheme Int8Ops applies at serving time
             from ursonet_tpu.models.quant import quantize_weight

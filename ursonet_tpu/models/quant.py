@@ -197,18 +197,29 @@ class Int8Ops:
     Final head denses run in float (dense_final) — tiny compute, and it
     keeps the head outputs (e.g. the 4-float quaternion) clean."""
 
-    def __init__(self, flat, act_scales, acc_dtype=jnp.float32):
+    def __init__(self, q, flat, act_scales, acc_dtype=jnp.float32):
+        """q: {site: (w8, sw, b)} from prepare(); flat: float kernels for
+        the dense_final sites. Both may be jit tracers — the weight
+        trees ride as ARGUMENTS of the jitted forward, not as baked-in
+        constants (constants would force a recompile + a full-weights
+        HLO upload for every new checkpoint)."""
         self.dt = acc_dtype
         # Clamp: a site whose calibration batch produced all-zero
         # activations (dead ReLU on a small batch) must not divide by 0.
         self.scales = {k: max(float(v), 1e-10)
                        for k, v in act_scales.items()}
         self.flat = flat
-        self.q = {}
+        self.q = q
+
+    @staticmethod
+    def prepare(flat):
+        """Quantize a flat float tree into the {site: (w8, sw, b)}
+        weight tree consumed by the int8 phase."""
+        q = {}
         for site, (w, b) in flat.items():
             w8, sw = quantize_weight(w)
-            self.q[site] = (jnp.asarray(w8), jnp.asarray(sw),
-                            jnp.asarray(b, np.float32))
+            q[site] = (w8, sw, np.asarray(b, np.float32))
+        return q
 
     def _q8(self, x, site):
         s = self.scales[site] / 127.0
@@ -266,6 +277,23 @@ class Int8Ops:
 
     def finalize(self, out):
         return {k: v.astype(jnp.float32) for k, v in out.items()}
+
+
+def float_sites(mcfg) -> set:
+    """Sites that run in FLOAT at serving time (the regression /
+    quaternion / keypoint finals — see twin_forward's head(); the
+    classification finals are int8 like everything else)."""
+    if mcfg['regress_keypoints']:
+        return {'loc_head/k1_final', 'loc_head/k2_final',
+                'loc_head/k3_final'}
+    sites = set()
+    if mcfg['regress_loc']:
+        sites.add('loc_head/loc_final')
+    if mcfg['regress_ori']:
+        sites.add('ori_head/ori_q'
+                  if mcfg['orientation_param'] == 'quaternion'
+                  else 'ori_head/ori_final')
+    return sites
 
 
 # --------------------------------------------------------------------------
@@ -432,19 +460,33 @@ class QuantizedModel:
     # -- phases ---------------------------------------------------------------
 
     def float_twin(self, images):
-        return twin_forward(F32Ops(self.flat), images, self._mcfg)
+        return twin_forward(F32Ops(self._flat_f32()), images, self._mcfg)
+
+    def _flat_f32(self):
+        """Device copy of the flat float tree (kernels as f32 jnp).
+        Weight trees are passed as jit ARGUMENTS everywhere — baking
+        them in as constants forces a recompile and a full-weights HLO
+        upload per checkpoint (and overflows the remote-compile request
+        size at flagship scale)."""
+        if getattr(self, '_flat_dev', None) is None:
+            self._flat_dev = {
+                s: (jnp.asarray(w, jnp.float32),
+                    jnp.asarray(b, jnp.float32))
+                for s, (w, b) in self.flat.items()}
+        return self._flat_dev
 
     def calibrate(self, images, percentile_headroom: float = 1.0):
         """Max-abs calibration over one (or more) molded batches; call
         repeatedly to take the running max across batches."""
         mcfg = self._mcfg
+        if getattr(self, '_calib_fn', None) is None:
+            def run(flat, imgs):
+                ops = CalibOps(flat)
+                twin_forward(ops, imgs, mcfg)
+                return ops.maxabs
+            self._calib_fn = jax.jit(run)
 
-        def run(imgs):
-            ops = CalibOps(self.flat)
-            twin_forward(ops, imgs, mcfg)
-            return ops.maxabs
-
-        maxabs = jax.jit(run)(jnp.asarray(images))
+        maxabs = self._calib_fn(self._flat_f32(), jnp.asarray(images))
         maxabs = {k: float(v) * percentile_headroom
                   for k, v in maxabs.items()}
         if self.act_scales is None:
@@ -459,7 +501,18 @@ class QuantizedModel:
         if self.act_scales is None:
             raise RuntimeError('calibrate() before inference')
         if self._fn is None:
-            ops = Int8Ops(self.flat, self.act_scales, self.acc_dtype)
             mcfg = self._mcfg
-            self._fn = jax.jit(lambda x: twin_forward(ops, x, mcfg))
-        return self._fn(jnp.asarray(images))
+            scales, acc = self.act_scales, self.acc_dtype
+
+            def fn(q, flat, x):
+                ops = Int8Ops(q, flat, scales, acc)
+                return twin_forward(ops, x, mcfg)
+
+            self._fn = jax.jit(fn)
+            self._q_dev = jax.device_put(Int8Ops.prepare(self.flat))
+            fsites = float_sites(mcfg)
+            flat_dev = self._flat_f32()
+            self._ffinal_dev = {s: flat_dev[s] for s in fsites
+                                if s in flat_dev}
+        return self._fn(self._q_dev, self._ffinal_dev,
+                        jnp.asarray(images))
