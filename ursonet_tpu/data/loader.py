@@ -384,6 +384,7 @@ class Prefetcher:
         self._it = it
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err = None
+        self._exhausted = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -399,8 +400,8 @@ class Prefetcher:
         return self
 
     def __next__(self):
-        if getattr(self, '_exhausted', False):  # iterator protocol:
-            raise StopIteration                 # keep raising, not block
+        if self._exhausted:      # iterator protocol: keep raising
+            raise StopIteration  # instead of blocking on a dead queue
         item = self._q.get()
         if item is _DONE:
             self._exhausted = True

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ursonet_tpu.models.folding import fold_bn
+from ursonet_tpu.models.folding import _bn_name_for, fold_bn
 
 
 # --------------------------------------------------------------------------
@@ -54,7 +54,6 @@ def flatten_folded(params, batch_stats, config) -> Dict[str, tuple]:
     are folded into the conv kernel; the BN shift becomes part of the
     site bias, so the twin needs no BN ops at all.
     """
-    from ursonet_tpu.models.folding import _bn_name_for
     if getattr(config, 'TRAIN_BN', False):
         raise NotImplementedError(
             'int8 PTQ supports the TRAIN_BN=False default only')
@@ -449,9 +448,14 @@ class QuantizedModel:
             ori_bins=config.ORI_BINS_PER_DIM,
         )
         self.act_scales: Optional[Dict[str, float]] = None
-        self._fn: Optional[Callable] = None
         self.acc_dtype = jnp.bfloat16 if getattr(config, 'F16', False) \
             else jnp.float32
+        # lazily-built device/jit state (reset by calibrate())
+        self._fn: Optional[Callable] = None
+        self._calib_fn: Optional[Callable] = None
+        self._flat_dev = None
+        self._q_dev = None
+        self._ffinal_dev = None
 
     @classmethod
     def from_variables(cls, config, params, batch_stats):
@@ -468,7 +472,7 @@ class QuantizedModel:
         them in as constants forces a recompile and a full-weights HLO
         upload per checkpoint (and overflows the remote-compile request
         size at flagship scale)."""
-        if getattr(self, '_flat_dev', None) is None:
+        if self._flat_dev is None:
             self._flat_dev = {
                 s: (jnp.asarray(w, jnp.float32),
                     jnp.asarray(b, jnp.float32))
@@ -479,7 +483,7 @@ class QuantizedModel:
         """Max-abs calibration over one (or more) molded batches; call
         repeatedly to take the running max across batches."""
         mcfg = self._mcfg
-        if getattr(self, '_calib_fn', None) is None:
+        if self._calib_fn is None:
             def run(flat, imgs):
                 ops = CalibOps(flat)
                 twin_forward(ops, imgs, mcfg)
