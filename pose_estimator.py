@@ -241,7 +241,8 @@ def main(argv=None):
         if args.command == 'train':
             raise SystemExit("--int8 is an inference-serving flag; "
                              "training runs bf16/f32")
-        engine.quantize()  # calibrates lazily on the first detect batch
+        if args.command != 'export':  # export builds its own, calibrated
+            engine.quantize()  # calibrates lazily on the first batch
 
     if args.command == 'export':
         # Serving/interop artifacts: Keras-h5 weights (round-trips with

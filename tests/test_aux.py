@@ -219,5 +219,27 @@ def test_hbm_preflight_estimate():
     cfg.update()
     warnings = []
     est8 = check_train_memory(cfg, log_fn=warnings.append)
-    # (replicated params are divided too — acceptable for a lower bound)
     assert warnings and est8 / 8 == pytest.approx(oom_est, rel=0.05)
+
+    # param-dominated config: a 64³-bin classification head (~270M
+    # params) is replicated on every data-parallel chip and must warn
+    # even at tiny batch/resolution with many chips
+    cfg = mk('resnet50', 192, 256, 1, True)
+    cfg.REGRESS_LOC = False
+    cfg.REGRESS_ORI = False
+    cfg.LOC_BINS_PER_DIM = 64
+    cfg.ORI_BINS_PER_DIM = 64
+    cfg.BRANCH_SIZE = 1024
+    cfg.OPTIMIZER = 'ADAM'
+    cfg.MESH_DATA = 8
+    cfg.update()
+    warnings = []
+    check_train_memory(cfg, log_fn=warnings.append)
+    assert warnings, "replicated wide-head params must trigger the warning"
+    # ...and sharding the heads over the 'model' axis clears it
+    cfg.MESH_MODEL = 8
+    cfg.MESH_DATA = 1
+    cfg.update()
+    warnings = []
+    check_train_memory(cfg, log_fn=warnings.append)
+    assert not warnings

@@ -28,7 +28,7 @@ from ursonet_tpu.checkpoint.store import _atomic_write
 
 def save_quantized(path: str, qmodel) -> None:
     """Write a calibrated QuantizedModel to `path` (msgpack, atomic)."""
-    from ursonet_tpu.models.quant import float_sites
+    from ursonet_tpu.models.quant import float_sites, quantize_weight
     if qmodel.act_scales is None:
         raise ValueError('calibrate() the model before saving')
     fsites = float_sites(qmodel._mcfg)
@@ -39,7 +39,6 @@ def save_quantized(path: str, qmodel) -> None:
         if site in fsites:
             flat_out[site] = {'kernel': w, 'bias': b}
         else:  # the exact scheme Int8Ops applies at serving time
-            from ursonet_tpu.models.quant import quantize_weight
             w8, sw = quantize_weight(w)
             flat_out[site] = {'kernel_q': w8, 'scale': sw, 'bias': b}
     tree = {

@@ -71,6 +71,7 @@ class UrsoNet:
     def initialize(self, seed: Optional[int] = None):
         """Random-init a sharded TrainState."""
         seed = self.config.SEED if seed is None else seed
+        self._qmodel = None  # any quantized model derives from old weights
         self.state = create_train_state(
             self.model, self.config, self.tx, self.mesh,
             jax.random.PRNGKey(seed), self._sample_images())
@@ -195,6 +196,9 @@ class UrsoNet:
         Returns the final epoch's metric means.
         """
         assert self.mode == 'training', "Create model in training mode."
+        # Training replaces the weights every step — a previously built
+        # quantized serving model would silently serve the old ones.
+        self._qmodel = None
         cfg = self.config
         if learning_rate is not None and learning_rate != cfg.LEARNING_RATE:
             cfg.LEARNING_RATE = learning_rate

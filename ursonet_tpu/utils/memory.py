@@ -64,19 +64,29 @@ def _param_count(architecture: str, config) -> float:
     c5 = 512 if architecture in ('resnet18', 'resnet34') else 2048
     p += 9 * c5 * config.BOTTLENECK_WIDTH
     n_heads = 1 if config.REGRESS_KEYPOINTS else 2
-    out = (config.ORI_BINS_PER_DIM ** 3
-           if not config.REGRESS_ORI else 4)
     if config.NR_DENSE_LAYERS > 0:
         # first hidden dense consumes feats; the rest are BRANCH_SIZE²
         p += n_heads * (feats * config.BRANCH_SIZE
                         + (config.NR_DENSE_LAYERS - 1)
                         * config.BRANCH_SIZE ** 2)
-    p += config.BRANCH_SIZE * (3 + out)
+        fin_in = config.BRANCH_SIZE
+    else:
+        fin_in = feats
+    # Final denses: the classification finals (bins³ outputs) dominate
+    # wide configs — e.g. speed 64³ is fin_in × 262144.
+    if config.REGRESS_KEYPOINTS:
+        p += fin_in * 9
+    else:
+        loc_out = 3 if config.REGRESS_LOC else config.LOC_BINS_PER_DIM ** 3
+        ori_out = (4 if config.ORIENTATION_PARAM == 'quaternion' else 3) \
+            if config.REGRESS_ORI else config.ORI_BINS_PER_DIM ** 3
+        p += fin_in * (loc_out + ori_out)
     return p
 
 
-def estimate_train_hbm_gb(config) -> float:
-    """Rough peak-HBM estimate (GB) of one jitted train step."""
+def _components_bytes(config):
+    """(activation, param-state, batch) byte totals for one train step
+    over the GLOBAL batch."""
     h, w = float(config.IMAGE_SHAPE[0]), float(config.IMAGE_SHAPE[1])
     batch = float(config.BATCH_SIZE)
     act_bytes = 2.0 if getattr(config, 'F16', False) else 4.0
@@ -87,16 +97,30 @@ def estimate_train_hbm_gb(config) -> float:
     # f32 params + grads + 1-2 optimizer slots + bf16 compute copy
     param_bytes = params * 4 * (3.5 if config.OPTIMIZER != 'SGD' else 2.5)
     batch_bytes = batch * h * w * 3 * 4
-    # cotangent working set ~ one stage of activations; fold into fudge
+    return acts, param_bytes, batch_bytes
+
+
+def estimate_train_hbm_gb(config) -> float:
+    """Rough peak-HBM estimate (GB) of one jitted train step over the
+    global batch (cotangent working set folded into the 1.25 fudge)."""
+    acts, param_bytes, batch_bytes = _components_bytes(config)
     return 1.25 * (acts + param_bytes + batch_bytes) / 1e9
 
 
 def check_train_memory(config, log_fn=print,
                        hbm_gb: float = V5E_HBM_GB) -> float:
     """Warn when the estimate approaches the per-chip HBM. Returns the
-    estimate in GB."""
+    GLOBAL estimate in GB."""
     est = estimate_train_hbm_gb(config)
-    per_chip = est / max(1, int(getattr(config, 'MESH_DATA', 1) or 1))
+    # Per chip: batch-scaled terms shard over the 'data' axis, but the
+    # param/grad/optimizer state is REPLICATED on every data-parallel
+    # chip (only 'model'-axis sharding splits it) — the dominant term
+    # for the wide classification heads.
+    md = max(1, int(getattr(config, 'MESH_DATA', 1) or 1))
+    mm = max(1, int(getattr(config, 'MESH_MODEL', 1) or 1))
+    acts, param_bytes, batch_bytes = _components_bytes(config)
+    per_chip = 1.25 * ((acts + batch_bytes) / md
+                       + param_bytes / mm) / 1e9
     if per_chip > 0.6 * hbm_gb:
         log_fn(
             f"WARNING: estimated training memory >= {per_chip:.1f} GB/chip "
