@@ -51,8 +51,10 @@ def test_train_checkpoint_resume_detect(urso_dir, tmp_path):
 
     engine = UrsoNet('training', cfg, model_dir)
     engine.initialize()
+    engine.quantize()  # training must invalidate this stale serving model
     means = engine.train(train_ds, val_ds, cfg.LEARNING_RATE, epochs=2,
                          layers='all', log_fn=lambda *a: None)
+    assert engine._qmodel is None
     assert 'loss' in means and np.isfinite(means['loss'])
     assert 'val_loss' in means
 
