@@ -223,6 +223,23 @@ def load_datasets(args, config, subsets):
     return out
 
 
+def calibrate_int8(engine, args, dataset, config):
+    """Eager, deterministic int8 calibration for the CLI inference
+    commands: activation scales come from the first BATCH_SIZE images of
+    the given dataset (a fixed sample), not from whatever batch reaches
+    the serving path first."""
+    if not args.int8 or args.command in ('train', 'export'):
+        return
+    ids = list(dataset.image_ids[:config.BATCH_SIZE])
+    if not ids:
+        raise SystemExit("--int8: no images available to calibrate on")
+    ids += [ids[-1]] * (config.BATCH_SIZE - len(ids))
+    images = [dataset.load_image(i) for i in ids]
+    engine.quantize(images)
+    print(f"int8: calibrated on {len(set(ids))} fixed images "
+          f"(ids {ids[0]}..{ids[len(set(ids)) - 1]})")
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     print("Command: ", args.command)
@@ -237,12 +254,12 @@ def main(argv=None):
     mode = 'training' if args.command == 'train' else 'inference'
     engine = UrsoNet(mode=mode, config=config, model_dir=args.logs)
     resolve_and_load_weights(engine, args)
-    if args.int8:
-        if args.command == 'train':
-            raise SystemExit("--int8 is an inference-serving flag; "
-                             "training runs bf16/f32")
-        if args.command != 'export':  # export builds its own, calibrated
-            engine.quantize()  # calibrates lazily on the first batch
+    if args.int8 and args.command == 'train':
+        raise SystemExit("--int8 is an inference-serving flag; "
+                         "training runs bf16/f32")
+    # (int8 calibration happens eagerly per-command below, on a fixed
+    # dataset sample — lazy first-batch calibration would make results
+    # depend on chunk order; export builds its own calibrated model.)
 
     if args.command == 'export':
         # Serving/interop artifacts: Keras-h5 weights (round-trips with
@@ -287,6 +304,7 @@ def main(argv=None):
     elif args.command == 'test':
         subset = 'val' if args.dataset == 'speed' else 'test'
         (dataset,) = load_datasets(args, config, (subset,))
+        calibrate_int8(engine, args, dataset, config)
         if args.image:
             import numpy as np
 
@@ -318,6 +336,7 @@ def main(argv=None):
     elif args.command == 'evaluate':
         subset = 'val' if args.dataset == 'speed' else 'test'
         (dataset,) = load_datasets(args, config, (subset,))
+        calibrate_int8(engine, args, dataset, config)
         from ursonet_tpu.evaluate import evaluate
         evaluate(engine, dataset, out_dir=args.out_dir)
     elif args.command == 'submit':
@@ -325,6 +344,7 @@ def main(argv=None):
             raise SystemExit("submit requires --dataset speed")
         real_ds, virtual_ds = load_datasets(args, config,
                                             ('real_test', 'test'))
+        calibrate_int8(engine, args, virtual_ds, config)
         from ursonet_tpu.submission import test_and_submit
         test_and_submit(engine, virtual_ds, real_ds, out_dir=args.out_dir)
     else:

@@ -352,3 +352,7 @@ def test_prefetcher_finite_stream_exhausts_cleanly():
     assert next(pf) == 1
     with pytest.raises(RuntimeError):
         next(pf)
+    # a producer error stays an error on re-entry — consumers that
+    # retry must not see it silently downgraded to StopIteration
+    with pytest.raises(RuntimeError):
+        next(pf)

@@ -146,6 +146,14 @@ def test_detect_sharded_matches_single_device(rng, tmp_path):
                / (np.linalg.norm(r['loc']) + 1e-9))
         assert rel < 0.2
 
+    # Uneven batch through the public predict path: 3 images on a
+    # 4-row data mesh must pad to the mesh rows and trim the outputs
+    # (previously crashed inside device_put).
+    molded, _, _ = e8.mold_inputs(images[:3])
+    out3 = e8.predict_molded(molded)
+    for k in out3:
+        assert np.shape(out3[k])[0] == 3
+
 
 def test_trainable_mask_presets(rng):
     cfg = TinyConfig()

@@ -60,9 +60,16 @@ def load_quantized(path: str, config):
     if tree.get('format') != 'ursonet-int8-ptq-v1':
         raise ValueError(f'not an int8-PTQ artifact: {path}')
     mcfg = tree['mcfg']
+    _missing = object()
     for key, val in mcfg.items():
-        want = getattr(config, _CONFIG_KEYS[key], None)
-        if want is not None and want != val:
+        want = getattr(config, _CONFIG_KEYS[key], _missing)
+        if want is _missing:
+            # A config that cannot even express the knob would fail
+            # later (or decode wrongly) — fail fast at load instead.
+            raise ValueError(
+                f'artifact/config mismatch: config has no '
+                f'{_CONFIG_KEYS[key]} (artifact {key}={val!r})')
+        if want != val:
             raise ValueError(
                 f'artifact/config mismatch on {key}: {val!r} != {want!r}')
     flat = {}

@@ -401,6 +401,8 @@ class Prefetcher:
 
     def __next__(self):
         if self._exhausted:      # iterator protocol: keep raising
+            if self._err is not None:  # a producer error stays an error
+                raise self._err        # on re-entry, never StopIteration
             raise StopIteration  # instead of blocking on a dead queue
         item = self._q.get()
         if item is _DONE:

@@ -349,17 +349,36 @@ class UrsoNet:
         Single entry point for detect()/evaluate/video."""
         if self.state is None:
             self.initialize()
+        n = int(np.shape(molded)[0])
+        pad = 0
         if self.mesh.size > 1:
-            molded = jax.device_put(np.asarray(molded),
+            # device_put with a 'data'-axis sharding requires the batch
+            # to divide evenly over the mesh rows; pad by repeating the
+            # last row and trim the outputs after.
+            rows = self.mesh.shape[parallel.AXIS_DATA]
+            molded = np.asarray(molded)
+            pad = (-n) % rows
+            if pad:
+                molded = np.concatenate(
+                    [molded, np.repeat(molded[-1:], pad, axis=0)], axis=0)
+            molded = jax.device_put(molded,
                                     parallel.batch_sharding(self.mesh))
         else:
             molded = jnp.asarray(molded)
         if self._qmodel is not None:
             if self._qmodel.act_scales is None:  # lazy calibration
+                print("int8: calibrating activation scales lazily on the "
+                      f"first served batch (shape {molded.shape}); for "
+                      "deterministic scales calibrate eagerly via "
+                      "quantize(calib_images) or load a serving artifact")
                 self._qmodel.calibrate(molded)
-            return self._qmodel(molded)
-        return self._predict(self.state.params, self.state.batch_stats,
-                             molded)
+            out = self._qmodel(molded)
+        else:
+            out = self._predict(self.state.params, self.state.batch_stats,
+                                molded)
+        if pad:
+            out = {k: v[:n] for k, v in out.items()}
+        return out
 
     def mold_inputs(self, images: Sequence[np.ndarray]):
         """Resize + mean-subtract + meta for a list of raw images
