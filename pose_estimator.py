@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--mesh_model', default=1, type=int,
                    help='tensor-parallel mesh axis over the heads')
     p.add_argument('--steps_per_epoch', default=None, type=int)
+    p.add_argument('--keep_checkpoints', default=0, type=int,
+                   help='keep only the newest N per-epoch snapshots '
+                        '(0 = keep all, reference behavior)')
     p.add_argument('--host_augment', action='store_true',
                    help='run augmentation per-image on host (parity mode) '
                         'instead of batched on device')
@@ -157,6 +160,8 @@ def make_config(args):
         config.MESH_DATA = max(1, n_dev // config.MESH_MODEL)
     if args.steps_per_epoch:
         config.STEPS_PER_EPOCH = args.steps_per_epoch
+    if args.keep_checkpoints:
+        config.CHECKPOINT_KEEP = args.keep_checkpoints
     config.update()
     return config
 
@@ -297,8 +302,12 @@ def main(argv=None):
         else:
             train_ds, val_ds = load_datasets(args, config, ('train', 'val'))
         n = len(train_ds.image_ids)
-        config.STEPS_PER_EPOCH = min(config.STEPS_PER_EPOCH,
-                                     max(1, n // config.BATCH_SIZE))
+        if args.steps_per_epoch is None:
+            # reference clamp (pose_estimator.py:750); an explicit
+            # --steps_per_epoch overrides it so long runs on small sets
+            # need not checkpoint every few seconds
+            config.STEPS_PER_EPOCH = min(config.STEPS_PER_EPOCH,
+                                         max(1, n // config.BATCH_SIZE))
         engine.train(train_ds, val_ds, config.LEARNING_RATE,
                      epochs=config.EPOCHS, layers='all')
     elif args.command == 'test':

@@ -249,3 +249,90 @@ def test_h5_export_import_roundtrip(tmp_path):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree.leaves(stats), jax.tree.leaves(s2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_use_resident_knobs(urso_dir):
+    from ursonet_tpu.data import loader as L
+
+    cfg = TinyConfig()
+    cfg.update()
+    ds = _load(urso_dir, cfg, 'train')
+    assert L.use_resident(ds, cfg)  # 'auto' + tiny dataset
+    cfg.DATA_ON_DEVICE = False
+    assert not L.use_resident(ds, cfg)
+    cfg.DATA_ON_DEVICE = 'auto'
+    cfg.DATA_ON_DEVICE_MAX_MB = 0
+    assert not L.use_resident(ds, cfg)
+    cfg.DATA_ON_DEVICE = True
+    cfg.AUGMENT_ON_DEVICE = False  # host-parity path cannot be resident
+    assert not L.use_resident(ds, cfg)
+
+
+def test_resident_step_matches_streaming(urso_dir):
+    """The device-resident train step (on-device index gather) must
+    produce the same update as the streaming step fed the identical
+    batch and key."""
+    import jax
+    import jax.numpy as jnp
+
+    from ursonet_tpu import parallel
+    from ursonet_tpu.data import loader as L
+    from ursonet_tpu.models.ursonet import build_model
+    from ursonet_tpu.train.optim import make_optimizer
+    from ursonet_tpu.train.state import create_train_state
+    from ursonet_tpu.train.step import (make_resident_train_step,
+                                        make_train_step)
+
+    cfg = TinyConfig()
+    cfg.update()
+    ds = _load(urso_dir, cfg, 'train')
+    model = build_model(cfg)
+    tx = make_optimizer(cfg)
+    mesh = parallel.make_mesh(cfg)
+    pre = L.make_device_preprocess(cfg, ds)
+    data, n = L.load_dataset_resident(ds, cfg, mesh)
+    assert n == len(ds.image_ids)
+
+    host = {k: np.asarray(v) for k, v in data.items()}
+    imgs = host['images_u8'][:cfg.BATCH_SIZE].astype(np.float32)
+
+    def fresh_state():
+        return create_train_state(model, cfg, tx, mesh,
+                                  jax.random.PRNGKey(0), jnp.asarray(imgs))
+
+    base_key = jax.random.PRNGKey(99)
+    perm = jnp.arange(n)
+    rstep = make_resident_train_step(model, cfg, tx, n, preprocess=pre)
+    sstep = make_train_step(model, cfg, tx, preprocess=pre)
+    with mesh:
+        s1 = fresh_state()
+        step0 = int(s1.step)
+        s1, i1, m1 = rstep(s1, data, perm, jnp.zeros((), jnp.int32),
+                           base_key)
+        assert int(i1) == 1
+        s2 = fresh_state()
+        batch = {k: jnp.asarray(v[:cfg.BATCH_SIZE])
+                 for k, v in host.items()}
+        s2, m2 = sstep(s2, batch, jax.random.fold_in(base_key, step0))
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_resident_training_via_engine(urso_dir, tmp_path):
+    """engine.train with DATA_ON_DEVICE forced on: loss finite, val runs,
+    resident banner logged."""
+    cfg = TinyConfig()
+    cfg.DATA_ON_DEVICE = True
+    model_dir = str(tmp_path / 'logs_res')
+    train_ds = _load(urso_dir, cfg, 'train')
+    val_ds = _load(urso_dir, cfg, 'val')
+    lines = []
+    engine = UrsoNet('training', cfg, model_dir)
+    engine.initialize()
+    means = engine.train(train_ds, val_ds, cfg.LEARNING_RATE, epochs=1,
+                         layers='all', log_fn=lines.append)
+    assert any('device-resident' in l for l in lines)
+    assert np.isfinite(means['loss']) and 'val_loss' in means

@@ -93,6 +93,14 @@ class Config:
     # Use the native C++ threaded decode+resize batch loader when built
     # (native/host_loader.cpp); falls back to PIL/numpy automatically.
     NATIVE_LOADER = True
+    # Keep small training/validation datasets device-resident: one bulk
+    # upload, then batches are index-gathered on device inside the jitted
+    # step — zero per-step host->device transfers ('auto' sizes against
+    # DATA_ON_DEVICE_MAX_MB; requires AUGMENT_ON_DEVICE). Besides the
+    # throughput win, this sidesteps host-buffer pinning per transfer on
+    # remote-tunnel device links (PERF.md).
+    DATA_ON_DEVICE = 'auto'     # True | False | 'auto'
+    DATA_ON_DEVICE_MAX_MB = 1024
 
     # --- TPU compute-path optimizations ------------------------------------------
     # Rewrite the 7x7/2 stem conv as its exact space-to-depth equivalent
@@ -133,6 +141,9 @@ class Config:
     LOG_EVERY_STEPS = 0
     SEED = 0
     CHECKPOINT_FORMAT = 'msgpack'   # msgpack | orbax
+    # Keep only the newest N per-epoch weight snapshots (0 = keep all,
+    # reference behavior net.py:1120); state_latest always remains.
+    CHECKPOINT_KEEP = 0
     DEBUG_NANS = False
 
     def update(self):

@@ -283,6 +283,55 @@ def _load_raw(dataset, config, image_id):
     return sample
 
 
+def resident_bytes(dataset, config) -> int:
+    """Estimated device bytes of the resident raw arrays for `dataset`."""
+    probe = _load_raw(dataset, config, int(dataset.image_ids[0]))
+    per = sum(np.asarray(v).nbytes for v in probe.values())
+    return per * len(dataset.image_ids)
+
+
+def use_resident(dataset, config) -> bool:
+    """Whether to keep this dataset device-resident for training.
+
+    Requires the on-device augmentation path (host-parity augmentation is
+    per-sample host RNG and cannot be device-resident) and the dataset
+    fitting under DATA_ON_DEVICE_MAX_MB. DATA_ON_DEVICE: True forces
+    (subject to the raw-mode requirement), False disables, 'auto' sizes.
+    """
+    knob = getattr(config, 'DATA_ON_DEVICE', 'auto')
+    raw = bool(getattr(config, 'AUGMENT_ON_DEVICE', False))
+    if knob is False or not raw:
+        return False
+    if knob is True:
+        return True
+    cap = int(getattr(config, 'DATA_ON_DEVICE_MAX_MB', 1024)) * (1 << 20)
+    return resident_bytes(dataset, config) <= cap
+
+
+def load_dataset_resident(dataset, config, mesh=None):
+    """One-time upload of the whole dataset as stacked raw device arrays
+    (replicated over the mesh), for index-gather batching inside the
+    jitted train step (train/step.make_resident_train_step).
+
+    Motivation (beyond throughput): on remote-tunnel platforms every
+    host->device transfer pins its host buffer (see PERF.md, axon leak
+    note), so per-step batch shipping bounds run length; the resident
+    path performs ONE bulk transfer and zero per-step transfers.
+
+    Returns (data_dict, n_images).
+    """
+    ids = [int(i) for i in dataset.image_ids]
+    samples = [_load_raw(dataset, config, i) for i in ids]
+    data = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    if mesh is not None:
+        from ursonet_tpu import parallel
+        sh = parallel.replicated(mesh)
+        data = {k: jax.device_put(v, sh) for k, v in data.items()}
+    else:
+        data = {k: jnp.asarray(v) for k, v in data.items()}
+    return data, len(ids)
+
+
 def make_device_preprocess(config, dataset):
     """Build the jitted on-device preprocessing: raw batch dict -> model
     batch dict {'images', 'gt_loc', 'gt_ori' | 'gt_k1','gt_k2'}.

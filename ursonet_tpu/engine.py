@@ -218,16 +218,52 @@ class UrsoNet:
         if raw:
             preprocess = data_loader.make_device_preprocess(
                 cfg, train_dataset)
-        train_step = make_train_step(self.model, cfg, self.tx,
-                                     trainable=mask, preprocess=preprocess)
-        eval_step = make_eval_step(self.model, cfg, preprocess=preprocess)
 
-        train_gen = data_loader.Prefetcher(data_loader.data_generator(
-            train_dataset, cfg, shuffle=True, batch_size=cfg.BATCH_SIZE,
-            seed=cfg.SEED, raw=raw))
-        val_gen = data_loader.Prefetcher(data_loader.data_generator(
-            val_dataset, cfg, shuffle=True, batch_size=cfg.BATCH_SIZE,
-            seed=cfg.SEED + 1, raw=raw)) if val_dataset is not None else None
+        # Small datasets live device-resident: one bulk upload, zero
+        # per-step host->device transfers (train/step resident steps).
+        resident = data_loader.use_resident(train_dataset, cfg)
+        train_gen = val_gen = None
+        res_train = res_val = None
+        if resident:
+            from ursonet_tpu.train.step import (make_resident_eval_step,
+                                                make_resident_train_step)
+            bsh = parallel.batch_sharding(self.mesh) \
+                if self.mesh.size > 1 else None
+            rep = parallel.replicated(self.mesh)
+            res_train, n_train = data_loader.load_dataset_resident(
+                train_dataset, cfg, self.mesh)
+            train_step = make_resident_train_step(
+                self.model, cfg, self.tx, n_train, trainable=mask,
+                preprocess=preprocess, batch_sharding=bsh)
+            # All small step inputs ride replicated on the mesh: a
+            # single-device (uncommitted) perm/counter/key would make
+            # XLA reshard inside the step program (CPU in-process
+            # collectives deadlock on that pattern).
+            perm_fn = jax.jit(
+                lambda k: jax.random.permutation(k, n_train),
+                out_shardings=rep)
+            if val_dataset is not None:
+                res_val, n_val = data_loader.load_dataset_resident(
+                    val_dataset, cfg, self.mesh)
+                eval_step = make_resident_eval_step(
+                    self.model, cfg, n_val, preprocess=preprocess,
+                    batch_sharding=bsh)
+            log_fn(f"data: device-resident ({n_train} train"
+                   + (f" + {n_val} val" if res_val is not None else "")
+                   + " images)")
+        else:
+            train_step = make_train_step(self.model, cfg, self.tx,
+                                         trainable=mask,
+                                         preprocess=preprocess)
+            eval_step = make_eval_step(self.model, cfg,
+                                       preprocess=preprocess)
+            train_gen = data_loader.Prefetcher(data_loader.data_generator(
+                train_dataset, cfg, shuffle=True,
+                batch_size=cfg.BATCH_SIZE, seed=cfg.SEED, raw=raw))
+            val_gen = data_loader.Prefetcher(data_loader.data_generator(
+                val_dataset, cfg, shuffle=True, batch_size=cfg.BATCH_SIZE,
+                seed=cfg.SEED + 1, raw=raw)) \
+                if val_dataset is not None else None
 
         os.makedirs(self.log_dir, exist_ok=True)
         cfg.write_to_file(os.path.join(
@@ -241,16 +277,40 @@ class UrsoNet:
         # would sync the host into every step and stall the dispatch
         # pipeline (a ~15% throughput hit through the remote tunnel).
         acc = jax.jit(lambda s, m: jax.tree.map(jnp.add, s, m))
+        # XLA:CPU's in-process collectives deadlock when many multi-device
+        # executions are queued without a sync (rendezvous threads from
+        # different executions interleave) — throttle dispatch depth on
+        # the CPU backend (virtual-mesh tests). Real TPU keeps the fully
+        # async pipeline (a per-step sync costs ~39% through the remote
+        # tunnel, PERF.md).
+        throttle = jax.default_backend() == 'cpu' and self.mesh.size > 1
+        base_key = jax.random.PRNGKey(cfg.SEED + (1 << 20))
+        if resident:
+            rep = parallel.replicated(self.mesh)
+            base_key = jax.device_put(np.asarray(base_key), rep)
+            zero = jax.device_put(np.zeros((), np.int32), rep)
         with self.mesh:
             for epoch in range(self.epoch, epochs):
                 t0 = time.time()
                 sums, n = None, 0
+                if resident:
+                    key, pk = jax.random.split(key)
+                    perm = perm_fn(pk)
+                    i = zero
                 for _ in range(cfg.STEPS_PER_EPOCH):
-                    key, sub = jax.random.split(key)
-                    batch = parallel.shard_batch(self.mesh, next(train_gen))
-                    self.state, metrics = train_step(self.state, batch, sub)
+                    if resident:
+                        self.state, i, metrics = train_step(
+                            self.state, res_train, perm, i, base_key)
+                    else:
+                        key, sub = jax.random.split(key)
+                        batch = parallel.shard_batch(self.mesh,
+                                                     next(train_gen))
+                        self.state, metrics = train_step(self.state,
+                                                         batch, sub)
                     n += 1
                     sums = metrics if sums is None else acc(sums, metrics)
+                    if throttle:
+                        jax.block_until_ready(metrics)
                     if log_every and n % log_every == 0:
                         # per-batch scalar logging (reference BatchLogger,
                         # net.py:1106-1115) — opting in syncs the host
@@ -263,15 +323,23 @@ class UrsoNet:
                 means = {k: float(v) / n for k, v in sums.items()}
 
                 val_means = {}
-                if val_gen is not None:
+                if val_gen is not None or res_val is not None:
                     vsums, vn = None, 0
+                    iv = zero if resident else jnp.zeros((), jnp.int32)
+                    vkey = jax.random.fold_in(base_key, (1 << 24) + epoch)
                     for _ in range(cfg.VALIDATION_STEPS):
-                        key, sub = jax.random.split(key)
-                        batch = parallel.shard_batch(self.mesh,
-                                                     next(val_gen))
-                        m = eval_step(self.state, batch, sub)
+                        if res_val is not None:
+                            iv, m = eval_step(self.state, res_val, iv,
+                                              vkey)
+                        else:
+                            key, sub = jax.random.split(key)
+                            batch = parallel.shard_batch(self.mesh,
+                                                         next(val_gen))
+                            m = eval_step(self.state, batch, sub)
                         vn += 1
                         vsums = m if vsums is None else acc(vsums, m)
+                        if throttle:
+                            jax.block_until_ready(m)
                     vsums = jax.device_get(vsums) if vsums else {}
                     val_means = {f"val_{k}": float(v) / vn
                                  for k, v in vsums.items()}
@@ -289,6 +357,23 @@ class UrsoNet:
 
                 self.save_weights(
                     ckpt.checkpoint_epoch(self.checkpoint_path, epoch))
+                keep = int(getattr(cfg, 'CHECKPOINT_KEEP', 0) or 0)
+                if keep > 0:
+                    # Bound disk use on long runs: keep the newest `keep`
+                    # per-epoch snapshots (state_latest always remains
+                    # for exact resume). Reference keeps all (net.py:1120).
+                    import glob as _glob
+                    import shutil as _shutil
+                    snaps = sorted(_glob.glob(
+                        self.checkpoint_path.replace('*epoch*', '*')))
+                    for old in snaps[:-keep]:
+                        try:
+                            if os.path.isdir(old):
+                                _shutil.rmtree(old)  # orbax snapshot dir
+                            else:
+                                os.remove(old)
+                        except OSError:
+                            pass
                 if self._orbax:
                     from ursonet_tpu.checkpoint import orbax_store
                     orbax_store.save_state_dir(

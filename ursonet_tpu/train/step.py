@@ -24,7 +24,8 @@ from ursonet_tpu.train.state import TrainState, mask_grads
 
 def make_train_step(model, config, tx,
                     trainable=None,
-                    preprocess: Optional[Callable] = None):
+                    preprocess: Optional[Callable] = None,
+                    jit: bool = True):
     """Build the jitted train step.
 
     trainable: optional static bool tree (train/state.trainable_mask);
@@ -74,10 +75,74 @@ def make_train_step(model, config, tx,
         metrics['l2_reg'] = reg
         return new_state, metrics
 
+    return jax.jit(step_fn, donate_argnums=(0,)) if jit else step_fn
+
+
+def make_resident_train_step(model, config, tx, n_images: int,
+                             trainable=None,
+                             preprocess: Optional[Callable] = None,
+                             batch_sharding=None):
+    """Train step over a device-resident dataset
+    (data/loader.load_dataset_resident): the batch is gathered from the
+    resident arrays by an on-device index slice of a per-epoch device
+    permutation, so a step performs ZERO host->device transfers (the
+    per-step batch shipping of the streaming path both costs dispatch
+    time and, on remote-tunnel platforms, pins host memory per transfer
+    — PERF.md axon leak note).
+
+    Returns fn(state, data, perm, i, base_key) -> (state, i+1, metrics)
+    where `perm` is a device [n_images] permutation, `i` a device int32
+    step-in-epoch counter, and `base_key` a device PRNG key folded with
+    the global step for per-step randomness.
+    """
+    base = make_train_step(model, config, tx, trainable=trainable,
+                           preprocess=preprocess, jit=False)
+    bsz = int(config.BATCH_SIZE)
+    steps = max(n_images // bsz, 1)
+
+    def step_fn(state: TrainState, data, perm, i, base_key):
+        # wraparound, like the reference generator cycling image_ids
+        # (net.py:195-198) — also covers datasets smaller than a batch
+        pos = ((i % steps) * bsz + jnp.arange(bsz)) % n_images
+        idx = jnp.take(perm, pos, axis=0)
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        if batch_sharding is not None:
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, batch_sharding), batch)
+        key = jax.random.fold_in(base_key, state.step)
+        new_state, metrics = base(state, batch, key)
+        return new_state, i + 1, metrics
+
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def make_eval_step(model, config, preprocess: Optional[Callable] = None):
+def make_resident_eval_step(model, config, n_images: int,
+                            preprocess: Optional[Callable] = None,
+                            batch_sharding=None):
+    """Validation twin of make_resident_train_step: sequential batches
+    from resident arrays. Returns fn(state, data, i, base_key) ->
+    (i+1, metrics)."""
+    base = make_eval_step(model, config, preprocess=preprocess, jit=False)
+    bsz = int(config.BATCH_SIZE)
+    steps = max(n_images // bsz, 1)
+
+    def step_fn(state: TrainState, data, i, base_key):
+        pos = ((i % steps) * bsz + jnp.arange(bsz)) % n_images
+        batch = {k: jnp.take(v, pos, axis=0) for k, v in data.items()}
+        if batch_sharding is not None:
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, batch_sharding), batch)
+        key = jax.random.fold_in(base_key, i)
+        metrics = base(state, batch, key)
+        return i + 1, metrics
+
+    return jax.jit(step_fn)
+
+
+def make_eval_step(model, config, preprocess: Optional[Callable] = None,
+                   jit: bool = True):
     """Jitted validation step: forward + losses, no updates
     (reference validation pass of fit_generator, net.py:1152-1161)."""
 
@@ -97,7 +162,7 @@ def make_eval_step(model, config, preprocess: Optional[Callable] = None):
         metrics['loss'] = total
         return metrics
 
-    return jax.jit(step_fn)
+    return jax.jit(step_fn) if jit else step_fn
 
 
 def make_predict_fn(model, config):

@@ -26,8 +26,18 @@ def enable_compilation_cache(cache_dir: str | None = None) -> bool:
     if os.environ.get('URSONET_NO_COMPILATION_CACHE') == '1':
         return False
     import jax
-    cache_dir = (cache_dir or os.environ.get('JAX_COMPILATION_CACHE_DIR')
-                 or _DEFAULT_DIR)
+    cache_dir = (cache_dir or os.environ.get('JAX_COMPILATION_CACHE_DIR'))
+    if cache_dir is None:
+        # Segregate by backend + XLA_FLAGS: XLA's CPU AOT entries record
+        # the flag-dependent target features of the *writing* process;
+        # loading them from a process with different flags (e.g. the
+        # virtual-8-device test env vs a TPU-tunnel session's host CPU
+        # backend) can SIGILL/abort. One subdir per environment makes
+        # cross-environment poisoning impossible.
+        import hashlib
+        tag = (jax.default_backend() + '-' + hashlib.sha1(
+            os.environ.get('XLA_FLAGS', '').encode()).hexdigest()[:8])
+        cache_dir = os.path.join(_DEFAULT_DIR, tag)
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
