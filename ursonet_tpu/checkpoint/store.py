@@ -123,14 +123,28 @@ def _atomic_write(path: str, payload: bytes):
 
 
 def _to_host(tree):
+    """Host copy; on a multi-process cluster cross-host-sharded leaves
+    are allgathered (every process must call this — it is collective)."""
+    if jax.process_count() > 1:
+        from ursonet_tpu.parallel.multihost import fetch_global
+        return fetch_global(tree)
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
 
 
+def _is_writer() -> bool:
+    """Process-0-writes policy for msgpack snapshots (multi-host)."""
+    return jax.process_index() == 0
+
+
 def save_weights_file(path: str, params, batch_stats=None):
-    """Atomic weight snapshot: {'params', 'batch_stats'}."""
+    """Atomic weight snapshot: {'params', 'batch_stats'}.
+    Collective on multi-host (allgather of sharded leaves); only
+    process 0 writes the file."""
     tree = {'params': _to_host(params),
             'batch_stats': _to_host(batch_stats) if batch_stats is not None
             else {}}
+    if not _is_writer():
+        return
     _atomic_write(path, serialization.msgpack_serialize(tree))
 
 
@@ -143,7 +157,8 @@ def load_weights_file(path: str) -> Dict[str, Any]:
 
 
 def save_state(path: str, state, epoch: int):
-    """Full-train-state snapshot (exact resume incl. optimizer)."""
+    """Full-train-state snapshot (exact resume incl. optimizer).
+    Collective on multi-host; only process 0 writes."""
     tree = {
         'step': int(state.step),
         'epoch': int(epoch),
@@ -152,6 +167,8 @@ def save_state(path: str, state, epoch: int):
                         if state.batch_stats is not None else {}),
         'opt_state': _to_host(serialization.to_state_dict(state.opt_state)),
     }
+    if not _is_writer():
+        return
     _atomic_write(path, serialization.msgpack_serialize(tree))
 
 

@@ -112,7 +112,8 @@ def load_image_gt(dataset, config, image_id, rng=None):
 
 def data_generator(dataset, config, shuffle=True, batch_size=1,
                    seed: Optional[int] = None,
-                   raw: Optional[bool] = None) -> Iterator[dict]:
+                   raw: Optional[bool] = None,
+                   batch_slice: Optional[tuple] = None) -> Iterator[dict]:
     """Infinite batch generator (reference net.py:458-559).
 
     raw=None: follow config.AUGMENT_ON_DEVICE. raw=True yields uint8
@@ -120,10 +121,24 @@ def data_generator(dataset, config, shuffle=True, batch_size=1,
     yields fully augmented + molded float batches (host-parity).
     Error-tolerant: skips bad images, raises after 5 failures
     (net.py:551-559).
+
+    batch_slice=(lo, hi): multi-host per-process input sharding — the id
+    sequence is still the full deterministic global stream (identical on
+    every host given the same seed), but only rows lo:hi of each global
+    batch are decoded and yielded (parallel/multihost.py). N.b. the
+    5-strike error skip would desync the global stream across hosts;
+    multi-host runs should therefore use validated datasets.
     """
     if raw is None:
         raw = bool(getattr(config, 'AUGMENT_ON_DEVICE', False))
+    lo, hi = batch_slice if batch_slice is not None else (0, batch_size)
+    # Two RNG streams: the id-shuffle stream must advance identically on
+    # every host (it defines the global batch composition), while the
+    # per-sample augmentation stream is host-local (parity mode consumes
+    # it per LOADED sample, which differs per slice).
     rng = np.random.RandomState(seed)
+    aug_rng = np.random.RandomState(
+        None if seed is None else seed + 104729 + lo)
     image_ids = np.copy(dataset.image_ids)
     dtype = np.float16 if config.F16 else np.float32
     b = 0
@@ -165,13 +180,14 @@ def data_generator(dataset, config, shuffle=True, batch_size=1,
                     if shuffle and image_index == 0:
                         rng.shuffle(image_ids)
                     ids.append(int(image_ids[image_index]))
-                paths = [dataset.image_info[i]['path'] for i in ids]
+                sel = ids[lo:hi]  # this process's rows of the global batch
+                paths = [dataset.image_info[i]['path'] for i in sel]
                 images = native_loader.load_batch(
                     paths, g['out_h'], g['out_w'], g['content_h'],
                     g['content_w'], g['top'], g['left'])
                 batch = {'images_u8': images}
                 samples = [_raw_pose_fields(dataset, config, i)
-                           for i in ids]
+                           for i in sel]
                 for k in samples[0]:
                     batch[k] = np.stack([s[k] for s in samples])
                 batch['image_meta'] = np.stack([
@@ -179,7 +195,7 @@ def data_generator(dataset, config, shuffle=True, batch_size=1,
                         i, orig_shape,
                         (g['out_h'], g['out_w'], 3),
                         g['meta_window'], g['scale'])
-                    for i in ids])
+                    for i in sel])
                 yield batch
             except (GeneratorExit, KeyboardInterrupt):
                 raise
@@ -197,17 +213,18 @@ def data_generator(dataset, config, shuffle=True, batch_size=1,
                 rng.shuffle(image_ids)
             image_id = int(image_ids[image_index])
 
-            if raw:
-                sample = _load_raw(dataset, config, image_id)
-            else:
-                sample = _load_parity(dataset, config, image_id, rng, dtype)
-
-            if b == 0:
-                batch = {k: np.zeros((batch_size,) + np.shape(v),
-                                     dtype=np.asarray(v).dtype)
-                         for k, v in sample.items()}
-            for k, v in sample.items():
-                batch[k][b] = v
+            if lo <= b < hi:  # rows outside this host's slice are skipped
+                if raw:
+                    sample = _load_raw(dataset, config, image_id)
+                else:
+                    sample = _load_parity(dataset, config, image_id,
+                                          aug_rng, dtype)
+                if b == lo:
+                    batch = {k: np.zeros((hi - lo,) + np.shape(v),
+                                         dtype=np.asarray(v).dtype)
+                             for k, v in sample.items()}
+                for k, v in sample.items():
+                    batch[k][b - lo] = v
             b += 1
             if b >= batch_size:
                 yield batch
@@ -301,6 +318,10 @@ def use_resident(dataset, config) -> bool:
     knob = getattr(config, 'DATA_ON_DEVICE', 'auto')
     raw = bool(getattr(config, 'AUGMENT_ON_DEVICE', False))
     if knob is False or not raw:
+        return False
+    if jax.process_count() > 1:
+        # multi-host runs stream per-process input shards instead
+        # (parallel/multihost.py)
         return False
     if knob is True:
         return True

@@ -219,6 +219,16 @@ class UrsoNet:
             preprocess = data_loader.make_device_preprocess(
                 cfg, train_dataset)
 
+        # Multi-host: every process runs this same loop; each loads only
+        # its slice of every (deterministically composed) global batch
+        # (parallel/multihost.py). Process 0 owns file writes.
+        mh = jax.process_count() > 1
+        p0 = jax.process_index() == 0
+        bslice = None
+        if mh:
+            from ursonet_tpu.parallel import multihost
+            bslice = multihost.local_batch_slice(self.mesh, cfg.BATCH_SIZE)
+
         # Small datasets live device-resident: one bulk upload, zero
         # per-step host->device transfers (train/step resident steps).
         resident = data_loader.use_resident(train_dataset, cfg)
@@ -259,15 +269,17 @@ class UrsoNet:
                                        preprocess=preprocess)
             train_gen = data_loader.Prefetcher(data_loader.data_generator(
                 train_dataset, cfg, shuffle=True,
-                batch_size=cfg.BATCH_SIZE, seed=cfg.SEED, raw=raw))
+                batch_size=cfg.BATCH_SIZE, seed=cfg.SEED, raw=raw,
+                batch_slice=bslice))
             val_gen = data_loader.Prefetcher(data_loader.data_generator(
                 val_dataset, cfg, shuffle=True, batch_size=cfg.BATCH_SIZE,
-                seed=cfg.SEED + 1, raw=raw)) \
+                seed=cfg.SEED + 1, raw=raw, batch_slice=bslice)) \
                 if val_dataset is not None else None
 
-        os.makedirs(self.log_dir, exist_ok=True)
-        cfg.write_to_file(os.path.join(
-            self.log_dir, f"config_{self.epoch}.json"))
+        if p0:  # process-0-writes policy (run dir incl.)
+            os.makedirs(self.log_dir, exist_ok=True)
+            cfg.write_to_file(os.path.join(
+                self.log_dir, f"config_{self.epoch}.json"))
         metrics_path = os.path.join(self.log_dir, 'metrics.jsonl')
         key = jax.random.PRNGKey(cfg.SEED)
         last_means = {}
@@ -303,15 +315,20 @@ class UrsoNet:
                             self.state, res_train, perm, i, base_key)
                     else:
                         key, sub = jax.random.split(key)
-                        batch = parallel.shard_batch(self.mesh,
-                                                     next(train_gen))
+                        if mh:
+                            batch = multihost.shard_batch_local(
+                                self.mesh, next(train_gen),
+                                cfg.BATCH_SIZE)
+                        else:
+                            batch = parallel.shard_batch(self.mesh,
+                                                         next(train_gen))
                         self.state, metrics = train_step(self.state,
                                                          batch, sub)
                     n += 1
                     sums = metrics if sums is None else acc(sums, metrics)
                     if throttle:
                         jax.block_until_ready(metrics)
-                    if log_every and n % log_every == 0:
+                    if log_every and n % log_every == 0 and p0:
                         # per-batch scalar logging (reference BatchLogger,
                         # net.py:1106-1115) — opting in syncs the host
                         with open(metrics_path, 'a') as f:
@@ -333,8 +350,13 @@ class UrsoNet:
                                               vkey)
                         else:
                             key, sub = jax.random.split(key)
-                            batch = parallel.shard_batch(self.mesh,
-                                                         next(val_gen))
+                            if mh:
+                                batch = multihost.shard_batch_local(
+                                    self.mesh, next(val_gen),
+                                    cfg.BATCH_SIZE)
+                            else:
+                                batch = parallel.shard_batch(
+                                    self.mesh, next(val_gen))
                             m = eval_step(self.state, batch, sub)
                         vn += 1
                         vsums = m if vsums is None else acc(vsums, m)
@@ -350,15 +372,17 @@ class UrsoNet:
                               n * cfg.BATCH_SIZE / dt, 2),
                           **{k: round(v, 6) for k, v in means.items()},
                           **{k: round(v, 6) for k, v in val_means.items()}}
-                with open(metrics_path, 'a') as f:
-                    f.write(json.dumps(record) + '\n')
-                log_fn(f"epoch {epoch}: " + " ".join(
-                    f"{k}={v}" for k, v in record.items() if k != 'epoch'))
+                if p0:
+                    with open(metrics_path, 'a') as f:
+                        f.write(json.dumps(record) + '\n')
+                    log_fn(f"epoch {epoch}: " + " ".join(
+                        f"{k}={v}" for k, v in record.items()
+                        if k != 'epoch'))
 
                 self.save_weights(
                     ckpt.checkpoint_epoch(self.checkpoint_path, epoch))
                 keep = int(getattr(cfg, 'CHECKPOINT_KEEP', 0) or 0)
-                if keep > 0:
+                if keep > 0 and p0:
                     # Bound disk use on long runs: keep the newest `keep`
                     # per-epoch snapshots (state_latest always remains
                     # for exact resume). Reference keeps all (net.py:1120).

@@ -13,6 +13,7 @@ first-class TPU-native replacement (SURVEY.md §2 parallelism table, §5.8):
     all-reduce / activation collectives automatically.
 """
 
+from ursonet_tpu.parallel import multihost
 from ursonet_tpu.parallel.mesh import (AXIS_DATA, AXIS_MODEL, make_mesh,
                                        mesh_devices)
 from ursonet_tpu.parallel.sharding import (batch_sharding, replicated,
@@ -20,5 +21,6 @@ from ursonet_tpu.parallel.sharding import (batch_sharding, replicated,
 
 __all__ = [
     'AXIS_DATA', 'AXIS_MODEL', 'make_mesh', 'mesh_devices',
-    'batch_sharding', 'replicated', 'shard_batch', 'variable_shardings',
+    'batch_sharding', 'multihost', 'replicated', 'shard_batch',
+    'variable_shardings',
 ]

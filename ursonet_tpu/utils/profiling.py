@@ -69,15 +69,9 @@ def log_tensor_stats(text: str, array: Optional[Any] = None,
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None):
-    """Multi-host bring-up (SURVEY.md §5.8): jax.distributed.initialize
-    with explicit or env-derived topology. Safe no-op on a single host."""
-    if coordinator_address is None and num_processes is None:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            return False
-        return True
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
-    return True
+    """Multi-host bring-up (SURVEY.md §5.8) — delegates to
+    parallel.multihost.initialize (per-process input sharding and the
+    rest of the pod path live there)."""
+    from ursonet_tpu.parallel import multihost
+    return multihost.initialize(coordinator_address, num_processes,
+                                process_id)
