@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
                         '(the reference runs batch 1; larger batches use '
                         'the TPU far better)')
     p.add_argument('--seed', default=0, type=int)
+    p.add_argument('--multimodal', action='store_true',
+                   help='fit a quaternion GMM to the orientation PMF per '
+                        'image (EM; classification mode only): test '
+                        'prints per-mode quats/priors, evaluate reports '
+                        'the best-of-2-modes oracle error')
     p.add_argument('--int8', action='store_true',
                    help='serve inference through the calibrated int8 PTQ '
                         'path (test/evaluate/submit; ~1.7x on v5e)')
@@ -262,6 +267,9 @@ def main(argv=None):
     if args.int8 and args.command == 'train':
         raise SystemExit("--int8 is an inference-serving flag; "
                          "training runs bf16/f32")
+    if args.multimodal and config.REGRESS_ORI:
+        raise SystemExit("--multimodal requires orientation "
+                         "soft-classification (drop --regress_ori)")
     # (int8 calibration happens eagerly per-command below, on a fixed
     # dataset sample — lazy first-batch calibration would make results
     # depend on chunk order; export builds its own calibrated model.)
@@ -341,13 +349,15 @@ def main(argv=None):
         else:
             from ursonet_tpu.evaluate import detect_dataset
             detect_dataset(engine, dataset, 10,
-                           out_dir=os.path.join(args.out_dir, 'overlays'))
+                           out_dir=os.path.join(args.out_dir, 'overlays'),
+                           multimodal=args.multimodal)
     elif args.command == 'evaluate':
         subset = 'val' if args.dataset == 'speed' else 'test'
         (dataset,) = load_datasets(args, config, (subset,))
         calibrate_int8(engine, args, dataset, config)
         from ursonet_tpu.evaluate import evaluate
-        evaluate(engine, dataset, out_dir=args.out_dir)
+        evaluate(engine, dataset, out_dir=args.out_dir,
+                 multimodal=args.multimodal)
     elif args.command == 'submit':
         if args.dataset != 'speed':
             raise SystemExit("submit requires --dataset speed")

@@ -265,3 +265,31 @@ def test_video_inference(urso_env, tmp_path):
     while cap.read()[0]:
         n += 1
     assert n == 5
+
+
+def test_cli_multimodal_flag(urso_env, capsys):
+    """--multimodal wires the GMM EM fit (ops/gmm.py) into evaluate
+    (best-of-2-modes oracle metric) and test (per-mode printout);
+    rejected in regression mode."""
+    rc = pose_estimator.main(_args(
+        urso_env, 'train', '--weights', 'none', '--epochs', '1',
+        '--batch_size', '2', '--steps_per_epoch', '2',
+        '--classify_ori', '--ori_resolution', '8'))
+    assert rc == 0
+    rc = pose_estimator.main(_args(
+        urso_env, 'evaluate', '--weights', 'last',
+        '--classify_ori', '--ori_resolution', '8', '--multimodal'))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'Multimodal best-of-2-modes orientation error' in out
+    rc = pose_estimator.main(_args(
+        urso_env, 'test', '--weights', 'last',
+        '--classify_ori', '--ori_resolution', '8', '--multimodal'))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'mode 0: prior=' in out
+
+    import pytest
+    with pytest.raises(SystemExit):  # regression mode has no PMF to fit
+        pose_estimator.main(_args(
+            urso_env, 'evaluate', '--weights', 'last', '--multimodal'))

@@ -356,3 +356,45 @@ def test_prefetcher_finite_stream_exhausts_cleanly():
     # retry must not see it silently downgraded to StopIteration
     with pytest.raises(RuntimeError):
         next(pf)
+
+
+def test_native_loader_jpeg_and_png_pixel_parity(tmp_path):
+    """Native decode must match PIL pixel-for-pixel on PNG (lossless) and
+    JPEG (same libjpeg underneath), across thread counts — the
+    fallback-correctness contract of native/host_loader.cpp."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from ursonet_tpu.data import native_loader
+
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+
+    rng = np.random.RandomState(3)
+    img = (rng.rand(90, 130, 3) * 255).astype(np.uint8)
+    png = str(tmp_path / 'a.png')
+    jpg = str(tmp_path / 'a.jpg')
+    Image.fromarray(img).save(png)
+    Image.fromarray(img).save(jpg, quality=92)
+
+    for path in (png, jpg):
+        ref = np.asarray(Image.open(path).convert('RGB'))
+        got = native_loader.decode(path)
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
+
+    # batch path: identity geometry (content == output, no scaling) and
+    # multiple threads over a 16-image batch
+    paths = []
+    refs = []
+    for i in range(16):
+        im = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f'b{i}.png')
+        Image.fromarray(im).save(p)
+        paths.append(p)
+        refs.append(im)
+    for nthreads in (1, 4):
+        out = native_loader.load_batch(paths, 64, 64, 64, 64, 0, 0,
+                                       nthreads=nthreads)
+        np.testing.assert_array_equal(out, np.stack(refs))

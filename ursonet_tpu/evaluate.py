@@ -120,11 +120,33 @@ def encoding_errors(config, dataset, image_ids):
     return loc_errs, ori_errs
 
 
+def multimodal_orientations(outputs, config, dataset, nr_em_iterations=5):
+    """Per-image quaternion GMM fits on the orientation PMFs — the
+    reference's experimental EM framework (pose_estimator.py:42-154,
+    invocation sketch at 411-426) made reachable. Classification mode
+    only. Returns a list of (means [N,4], variances [N], priors [N])."""
+    from ursonet_tpu.ops.gmm import fit_gmm_to_orientation
+    assert not config.REGRESS_ORI, \
+        "--multimodal requires orientation soft-classification"
+    delta = config.BETA / config.ORI_BINS_PER_DIM
+    var = delta ** 2 / 12  # reference pose_estimator.py:333-334
+    pmfs = np.asarray(D.stable_softmax(jnp.asarray(outputs['ori'])))
+    fits = []
+    for pmf in pmfs:
+        means, variances, priors, _ = fit_gmm_to_orientation(
+            dataset.ori_histogram_map, pmf, nr_em_iterations, var)
+        fits.append((means, variances, priors))
+    return fits
+
+
 def evaluate(engine, dataset, out_dir: str = '.',
-             log_fn=print) -> dict:
+             log_fn=print, multimodal: bool = False) -> dict:
     """Full-dataset evaluation (reference pose_estimator.py:321-459).
 
     Returns the summary metric dict; writes per-image CSVs to out_dir.
+    multimodal=True additionally fits a quaternion GMM per image and
+    reports the best-of-top-2-modes oracle error (the selection the
+    reference's commented block computes, pose_estimator.py:417-423).
     """
     cfg = engine.config
     ids = list(dataset.image_ids)
@@ -163,6 +185,17 @@ def evaluate(engine, dataset, out_dir: str = '.',
         log_fn("Mean encoded orientation error:  "
                f"{summary['mean_ori_encoded_err_deg']}")
 
+    if multimodal:
+        fits = multimodal_orientations(outputs, cfg, dataset)
+        oracle = []
+        for (means, variances, priors), gt in zip(fits, q_gt):
+            errs = 2 * np.arccos(np.clip(np.abs(means[:2] @ gt), 0, 1)) \
+                * 180 / np.pi
+            oracle.append(float(np.min(errs)))
+        summary['multimodal_oracle_ori_err_deg'] = float(np.mean(oracle))
+        log_fn("Multimodal best-of-2-modes orientation error:  "
+               f"{summary['multimodal_oracle_ori_err_deg']}")
+
     os.makedirs(out_dir, exist_ok=True)
     pd.DataFrame(ori_err).to_csv(os.path.join(out_dir, "ori_err.csv"))
     pd.DataFrame(loc_err).to_csv(os.path.join(out_dir, "loc_err.csv"))
@@ -195,15 +228,19 @@ def evaluate_image(engine, dataset, image_id: int,
 
 def detect_dataset(engine, dataset, n_images: int = 10,
                    seed: Optional[int] = 7, out_dir: Optional[str] = None,
-                   log_fn=print):
+                   log_fn=print, multimodal: bool = False):
     """Spot-check N random images: decode + per-image error printout
     (reference detect_dataset, pose_estimator.py:462-604). With out_dir
-    set, saves visualization overlays instead of opening windows."""
+    set, saves visualization overlays instead of opening windows.
+    multimodal=True also prints each image's GMM modes (quaternion,
+    prior, variance)."""
     rng = np.random.RandomState(seed)
     ids = rng.choice(dataset.image_ids,
                      min(n_images, len(dataset.image_ids)), replace=False)
     outputs = _batched_forward(engine, dataset, list(ids))
     loc_est, q_est = decode_results(outputs, engine.config, dataset)
+    fits = multimodal_orientations(outputs, engine.config, dataset) \
+        if multimodal else None
     results = []
     for n, i in enumerate(ids):
         loc_gt = np.asarray(dataset.load_location(i), np.float64)
@@ -214,6 +251,16 @@ def detect_dataset(engine, dataset, n_images: int = 10,
              'ori_err_deg': 2 * np.arccos(min(d, 1.0)) * 180 / np.pi}
         log_fn(f"Image {i}: loc_err={r['loc_err']:.3f} "
                f"ori_err={r['ori_err_deg']:.2f} deg")
+        if fits is not None:
+            means, variances, priors = fits[n]
+            r['modes'] = [
+                {'q': means[m].tolist(), 'prior': float(priors[m]),
+                 'var': float(variances[m])}
+                for m in range(len(means))]
+            for m, mode in enumerate(r['modes']):
+                log_fn(f"  mode {m}: prior={mode['prior']:.3f} "
+                       f"var={mode['var']:.5f} "
+                       f"q={np.round(mode['q'], 4).tolist()}")
         results.append(r)
         if out_dir:
             from ursonet_tpu.ops import viz

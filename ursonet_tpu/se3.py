@@ -267,7 +267,10 @@ def quat_weighted_avg(Q, W):
     s, v = np.linalg.eigh(A)
     q_avg = v[:, -1]
     q_avg = q_avg / np.linalg.norm(q_avg)
-    H_inv = np.linalg.inv(A)
+    # pinv: A is rank-deficient when the weights concentrate on a single
+    # bin (e.g. a sharply converged GMM responsibility) — the average is
+    # still well-defined, only the uncertainty becomes degenerate.
+    H_inv = np.linalg.pinv(A)
     return q_avg, H_inv
 
 
