@@ -48,6 +48,9 @@ def main():
     backbone = os.environ.get('BENCH_BACKBONE', 'resnet50')
 
     config = Config()
+    # ablation knobs for the int8 serving path (default = production)
+    config.QUANT_STEM_S2D = os.environ.get('BENCH_S2D', '0') != '0'
+    u8_input = os.environ.get('BENCH_U8', '1') != '0'
     config.BACKBONE = backbone
     config.BOTTLENECK_WIDTH = 128
     config.BRANCH_SIZE = 1024
@@ -61,21 +64,34 @@ def main():
     config.update()
 
     model = build_model(config)
-    # Generate the input on device: a [batch,H,W,3] f32 host transfer
+    quant = os.environ.get('BENCH_QUANT', '1') != '0'
+    # Generate the input on device: a [batch,H,W,3] host transfer
     # through the (possibly remote) device link would dominate setup and
-    # caps the feasible batch size.
-    images = jax.jit(
-        lambda k: jax.random.uniform(k, (batch, h, w, 3), jnp.float32)
-    )(jax.random.PRNGKey(0))
+    # caps the feasible batch size. The int8 serving path takes raw
+    # uint8 pixels (engine.predict_molded ships u8 under INT8_U8_INPUT);
+    # the bf16 path takes the molded float batch.
+    if quant:
+        images = jax.jit(
+            lambda k: jax.random.randint(k, (batch, h, w, 3), 0, 256,
+                                         jnp.int32).astype(jnp.uint8)
+        )(jax.random.PRNGKey(0))
+        init_images = (images[:1].astype(jnp.float32)
+                       - jnp.asarray(config.MEAN_PIXEL, jnp.float32))
+        if not u8_input:
+            images = (images.astype(jnp.float32)
+                      - jnp.asarray(config.MEAN_PIXEL, jnp.float32))
+    else:
+        images = jax.jit(
+            lambda k: jax.random.uniform(k, (batch, h, w, 3), jnp.float32)
+        )(jax.random.PRNGKey(0))
+        init_images = images[:1]
 
     import flax.linen as nn
     variables = nn.unbox(
-        jax.jit(lambda r: model.init(r, images[:1], training=False))(
+        jax.jit(lambda r: model.init(r, init_images, training=False))(
             jax.random.PRNGKey(0)))
     params = variables['params']
     batch_stats = variables['batch_stats']
-
-    quant = os.environ.get('BENCH_QUANT', '1') != '0'
 
     # The forward reduces the head outputs to one scalar on device:
     # fetching the raw head outputs through the (remote) device link

@@ -151,6 +151,90 @@ def test_quant_rejects_train_bn():
             config, variables['params'], variables['batch_stats'])
 
 
+@pytest.mark.parametrize('backbone', ['resnet18', 'resnet50'])
+def test_stem_s2d_rewrite_matches_standard(backbone):
+    """QUANT_STEM_S2D rewrites the 7x7 stem into its exact s2d form at
+    PTQ init; the float twin must agree with the un-rewritten twin to
+    accumulation-order noise."""
+    config, model, variables, imgs = _make(backbone)
+    config.QUANT_STEM_S2D = True
+    qm_s2d = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    stem = 'conv1' if backbone == 'resnet50' else 'conv0'
+    assert qm_s2d._mcfg['stem_s2d'] and qm_s2d.flat[stem][0].shape[0] == 4
+    config.QUANT_STEM_S2D = False
+    qm_std = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    assert not qm_std._mcfg['stem_s2d']
+    a = qm_s2d.float_twin(imgs)
+    b = qm_std.float_twin(imgs)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_stem_s2d_built_model():
+    """A model TRAINED with STEM_SPACE_TO_DEPTH quantizes directly (the
+    folded kernel is already (4,4,4C,O)) and the twin matches it."""
+    config = Config()
+    config.BACKBONE = 'resnet18'
+    config.BOTTLENECK_WIDTH = 32
+    config.BRANCH_SIZE = 64
+    config.NR_DENSE_LAYERS = 1
+    config.IMAGE_RESIZE_MODE = 'none'
+    config.IMAGE_MIN_DIM = 64
+    config.IMAGE_MAX_DIM = 64
+    config.IMAGES_PER_GPU = 2
+    config.STEM_SPACE_TO_DEPTH = True
+    config.update()
+    model = build_model(config)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 60.0
+    variables = nn.unbox(model.init(jax.random.PRNGKey(0), imgs,
+                                    training=False))
+    ref = model.apply(variables, imgs, training=False)
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    assert qm._mcfg['stem_s2d']
+    twin = qm.float_twin(imgs)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(twin[k]), np.asarray(ref[k]),
+                                   rtol=2e-4, atol=2e-4)
+    qm.calibrate(imgs)
+    out = qm(imgs)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_u8_input_matches_molded_float():
+    """uint8 raw-pixel input (serving transfer mode) must reproduce the
+    molded-float path bit-for-bit when the source pixels are integers:
+    the twin folds the identical mean-subtract on device."""
+    config, model, variables, _ = _make('resnet18')
+    mean = np.asarray(config.MEAN_PIXEL, np.float32)
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    molded = raw.astype(np.float32) - mean
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    # float twin parity
+    a = qm.float_twin(jnp.asarray(molded))
+    b = qm.float_twin(jnp.asarray(raw))
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    # int8 path parity (calibration on either form gives the same scales)
+    s_f = dict(qm.calibrate(molded))
+    qm2 = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    s_u = dict(qm2.calibrate(jnp.asarray(raw)))
+    for k in s_f:
+        np.testing.assert_allclose(s_f[k], s_u[k], rtol=1e-6)
+    out_f = qm(molded)
+    out_u = qm(jnp.asarray(raw))
+    for k in out_f:
+        np.testing.assert_array_equal(np.asarray(out_f[k]),
+                                      np.asarray(out_u[k]))
+
+
 def test_calibration_on_zero_activations_is_safe():
     """A site calibrating to max|x| == 0 (e.g. all-black batch) must not
     divide by zero — outputs stay finite (bias-only), never NaN."""

@@ -43,7 +43,8 @@ def save_quantized(path: str, qmodel) -> None:
             flat_out[site] = {'kernel_q': w8, 'scale': sw, 'bias': b}
     tree = {
         'format': 'ursonet-int8-ptq-v1',
-        'mcfg': dict(qmodel._mcfg),
+        'mcfg': {k: list(v) if isinstance(v, tuple) else v
+                 for k, v in qmodel._mcfg.items()},  # msgpack: no tuples
         'act_scales': {k: np.float32(v)
                        for k, v in qmodel.act_scales.items()},
         'flat': flat_out,
@@ -61,14 +62,29 @@ def load_quantized(path: str, config):
         raise ValueError(f'not an int8-PTQ artifact: {path}')
     mcfg = tree['mcfg']
     _missing = object()
+
+    def _norm(v):
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return tuple(float(x) for x in v)
+        return v
+
     for key, val in mcfg.items():
-        want = getattr(config, _CONFIG_KEYS[key], _missing)
+        ckey = _CONFIG_KEYS.get(key)
+        if ckey is None:
+            # informational mcfg entries with no config counterpart —
+            # e.g. 'stem_s2d' is derived from the stored stem kernel's
+            # shape at reconstruction (models/quant.py), never from a
+            # config knob
+            continue
+        want = getattr(config, ckey, _missing)
+        want, val = (_norm(want), _norm(val)) if want is not _missing \
+            else (want, val)
         if want is _missing:
             # A config that cannot even express the knob would fail
             # later (or decode wrongly) — fail fast at load instead.
             raise ValueError(
                 f'artifact/config mismatch: config has no '
-                f'{_CONFIG_KEYS[key]} (artifact {key}={val!r})')
+                f'{ckey} (artifact {key}={val!r})')
         if want != val:
             raise ValueError(
                 f'artifact/config mismatch on {key}: {val!r} != {want!r}')
@@ -97,4 +113,5 @@ _CONFIG_KEYS: Dict[str, str] = {
     'orientation_param': 'ORIENTATION_PARAM',
     'loc_bins': 'LOC_BINS_PER_DIM',
     'ori_bins': 'ORI_BINS_PER_DIM',
+    'mean_pixel': 'MEAN_PIXEL',
 }

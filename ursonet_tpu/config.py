@@ -111,6 +111,21 @@ class Config:
     # profiling shows the stem dominating (small models / other TPU gens).
     STEM_SPACE_TO_DEPTH = False
 
+    # int8-PTQ serving knobs (models/quant.py). QUANT_STEM_S2D rewrites
+    # the stem kernel into the s2d form at quantization time — exact,
+    # works on any checkpoint, needs even molded H,W. Measured -3.6%
+    # end-to-end on v5e int8 serving (the s2d transpose of the int8
+    # input costs more than the 12-channel stem saves; PERF.md
+    # ablation), so it defaults off like STEM_SPACE_TO_DEPTH; flip it
+    # on where profiling shows the stem dominating. INT8_U8_INPUT ships
+    # served batches as raw uint8 pixels (1 byte/px vs 4) and folds the
+    # mean-subtract into the on-device input quantize — rounding the
+    # molded float to the nearest integer pixel, lossless for integer
+    # sources and far below the input int8 step (~1.6) otherwise;
+    # measured +1.8% on-device plus 4x less host->device traffic.
+    QUANT_STEM_S2D = False
+    INT8_U8_INPUT = True
+
     # Rematerialize residual blocks in the backward pass (jax.checkpoint):
     # ~30% more FLOPs for a large cut in activation HBM — enables bigger
     # per-chip batches at high resolution.

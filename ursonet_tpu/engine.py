@@ -458,6 +458,18 @@ class UrsoNet:
         Single entry point for detect()/evaluate/video."""
         if self.state is None:
             self.initialize()
+        if (self._qmodel is not None
+                and getattr(self.config, 'INT8_U8_INPUT', True)
+                and np.shape(molded)[-1] == 3
+                and np.asarray(molded).dtype != np.uint8):
+            # int8 serving: ship raw uint8 pixels (1 byte/px instead of a
+            # 4-byte molded float — the host->device link is the serving
+            # bottleneck on remote-tunnel platforms) and let the quant
+            # twin fold the mean-subtract into its input quantize
+            # (models/quant.py F32Ops._mold_maybe).
+            mean = np.asarray(self.config.MEAN_PIXEL, np.float32)
+            molded = np.clip(np.rint(np.asarray(molded, np.float32) + mean),
+                             0, 255).astype(np.uint8)
         n = int(np.shape(molded)[0])
         pad = 0
         if self.mesh.size > 1:

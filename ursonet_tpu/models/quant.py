@@ -57,8 +57,6 @@ def flatten_folded(params, batch_stats, config) -> Dict[str, tuple]:
     if getattr(config, 'TRAIN_BN', False):
         raise NotImplementedError(
             'int8 PTQ supports the TRAIN_BN=False default only')
-    if getattr(config, 'STEM_SPACE_TO_DEPTH', False):
-        raise NotImplementedError('int8 PTQ: use the standard stem')
     params, batch_stats = fold_bn(jax.device_get(params),
                                   jax.device_get(batch_stats or {}))
     flat: Dict[str, tuple] = {}
@@ -102,12 +100,24 @@ class F32Ops:
     """Float twin of UrsoNetModule on folded params (reference semantics:
     conv -> +bias(+BN shift) -> ReLU; Dense likewise)."""
 
-    def __init__(self, flat, compute_dtype=jnp.float32):
+    def __init__(self, flat, compute_dtype=jnp.float32, mean_pixel=None):
         self.flat = flat
         self.dt = compute_dtype
+        self.mean_pixel = mean_pixel
+
+    def _mold_maybe(self, x):
+        """uint8 input = raw network-resolution pixels: fold the mold's
+        mean-subtract in here so the serving host ships 1 byte/px instead
+        of a 4-byte molded float (engine.mold_inputs stays the float
+        path). float input = already molded."""
+        if x.dtype == jnp.uint8:
+            assert self.mean_pixel is not None
+            return x.astype(jnp.float32) - jnp.asarray(self.mean_pixel,
+                                                       jnp.float32)
+        return x
 
     def input(self, x):
-        return x.astype(self.dt)
+        return self._mold_maybe(x).astype(self.dt)
 
     def conv(self, x, site, stride=1, padding='SAME'):
         w, b = self.flat[site]
@@ -144,8 +154,8 @@ class F32Ops:
 class CalibOps(F32Ops):
     """F32 twin that also records max|x| at every quantize site."""
 
-    def __init__(self, flat, compute_dtype=jnp.float32):
-        super().__init__(flat, compute_dtype)
+    def __init__(self, flat, compute_dtype=jnp.float32, mean_pixel=None):
+        super().__init__(flat, compute_dtype, mean_pixel)
         self.maxabs: Dict[str, jnp.ndarray] = {}
 
     def _observe(self, name, x):
@@ -196,13 +206,15 @@ class Int8Ops:
     Final head denses run in float (dense_final) — tiny compute, and it
     keeps the head outputs (e.g. the 4-float quaternion) clean."""
 
-    def __init__(self, q, flat, act_scales, acc_dtype=jnp.float32):
+    def __init__(self, q, flat, act_scales, acc_dtype=jnp.float32,
+                 mean_pixel=None):
         """q: {site: (w8, sw, b)} from prepare(); flat: float kernels for
         the dense_final sites. Both may be jit tracers — the weight
         trees ride as ARGUMENTS of the jitted forward, not as baked-in
         constants (constants would force a recompile + a full-weights
         HLO upload for every new checkpoint)."""
         self.dt = acc_dtype
+        self.mean_pixel = mean_pixel
         # Clamp: a site whose calibration batch produced all-zero
         # activations (dead ReLU on a small batch) must not divide by 0.
         self.scales = {k: max(float(v), 1e-10)
@@ -226,7 +238,7 @@ class Int8Ops:
         return _QT(y.astype(jnp.int8), s)
 
     def input(self, x):
-        return self._q8(x, 'input')
+        return self._q8(F32Ops._mold_maybe(self, x), 'input')
 
     def conv(self, x, site, stride=1, padding='SAME'):
         w8, sw, b = self.q[site]
@@ -303,9 +315,25 @@ def _dequant_maybe(ops, x):
     return ops.dequant(x) if isinstance(ops, Int8Ops) else x
 
 
-def _bottleneck_backbone(ops, x, architecture):
+def _stem(ops, x, mcfg, name):
+    """Stem conv: 7×7/2 with (3,3) pad, or its exact space-to-depth
+    rewrite (models/resnet.py:_stem_conv) when the folded kernel is in
+    (4,4,4C,O) form — either because the model was built with
+    STEM_SPACE_TO_DEPTH or because QuantizedModel rewrote it at init
+    (QUANT_STEM_S2D serving knob)."""
+    if mcfg.get('stem_s2d'):
+        from ursonet_tpu.models.resnet import space_to_depth2
+        if isinstance(x, _QT):
+            x = _QT(space_to_depth2(x.arr), x.scale)
+        else:
+            x = space_to_depth2(x)
+        return ops.conv(x, name, 1, [(2, 1), (2, 1)])
+    return ops.conv(x, name, 2, [(3, 3), (3, 3)])
+
+
+def _bottleneck_backbone(ops, x, architecture, mcfg):
     """ResNet-50/101 (models/resnet.py ResNetBackbone)."""
-    y = ops.conv(x, 'conv1', 2, [(3, 3), (3, 3)])
+    y = _stem(ops, x, mcfg, 'conv1')
     y = ops.relu(y, 'conv1/out')
     y = ops.maxpool(y)
 
@@ -336,10 +364,10 @@ def _bottleneck_backbone(ops, x, architecture):
     return y
 
 
-def _basic_backbone(ops, x, architecture):
+def _basic_backbone(ops, x, architecture, mcfg):
     """ResNet-18/34 (models/resnet.py ResNetShallowBackbone; single-BN
     basic block, reference net.py:216-240)."""
-    y = ops.conv(x, 'conv0', 2, [(3, 3), (3, 3)])
+    y = _stem(ops, x, mcfg, 'conv0')
     y = ops.relu(y, 'conv0/out')
     y = ops.maxpool(y)
     reps = [2, 2, 2, 2] if architecture == 'resnet18' else [3, 4, 6, 3]
@@ -369,9 +397,9 @@ def twin_forward(ops, images, mcfg: dict) -> Dict[str, jnp.ndarray]:
     (see QuantizedModel._mcfg)."""
     x = ops.input(images)
     if mcfg['backbone'] in ('resnet50', 'resnet101'):
-        y = _bottleneck_backbone(ops, x, mcfg['backbone'])
+        y = _bottleneck_backbone(ops, x, mcfg['backbone'], mcfg)
     else:
-        y = _basic_backbone(ops, x, mcfg['backbone'])
+        y = _basic_backbone(ops, x, mcfg['backbone'], mcfg)
     y = ops.conv(y, 'bottleneck_layer', 2, 'SAME')
     feats = ops.flatten(y, 'bottleneck/out')
 
@@ -437,6 +465,21 @@ class QuantizedModel:
 
     def __init__(self, config, flat_params):
         self.flat = flat_params
+        stem = 'conv1' if config.BACKBONE in ('resnet50', 'resnet101') \
+            else 'conv0'
+        if (getattr(config, 'QUANT_STEM_S2D', True)
+                and self.flat[stem][0].shape[0] == 7):
+            # Serving-time stem optimization: rewrite the 7x7/2 stem
+            # kernel EXACTLY into its space-to-depth (4,4,4C,O)/1 form
+            # (resnet.stem_kernel_to_s2d) regardless of how the model
+            # was trained — the raw stem runs at ~4% MXU utilization
+            # (3 input channels), the s2d form at 16%. Requires even
+            # input H,W (all molded resize modes except odd-sized
+            # 'none'); set config.QUANT_STEM_S2D = False to opt out.
+            from ursonet_tpu.models.resnet import stem_kernel_to_s2d
+            k, b = self.flat[stem]
+            self.flat = dict(self.flat)
+            self.flat[stem] = (stem_kernel_to_s2d(k), b)
         self._mcfg = dict(
             backbone=config.BACKBONE,
             nr_dense_layers=config.NR_DENSE_LAYERS,
@@ -446,6 +489,10 @@ class QuantizedModel:
             orientation_param=config.ORIENTATION_PARAM,
             loc_bins=config.LOC_BINS_PER_DIM,
             ori_bins=config.ORI_BINS_PER_DIM,
+            # derived from the kernel actually in `flat`, NOT the config
+            # flag — an artifact saved post-rewrite stays self-describing
+            stem_s2d=self.flat[stem][0].shape[0] == 4,
+            mean_pixel=tuple(float(v) for v in config.MEAN_PIXEL),
         )
         self.act_scales: Optional[Dict[str, float]] = None
         self.acc_dtype = jnp.bfloat16 if getattr(config, 'F16', False) \
@@ -464,7 +511,10 @@ class QuantizedModel:
     # -- phases ---------------------------------------------------------------
 
     def float_twin(self, images):
-        return twin_forward(F32Ops(self._flat_f32()), images, self._mcfg)
+        return twin_forward(
+            F32Ops(self._flat_f32(),
+                   mean_pixel=self._mcfg['mean_pixel']),
+            images, self._mcfg)
 
     def _flat_f32(self):
         """Device copy of the flat float tree (kernels as f32 jnp).
@@ -485,7 +535,7 @@ class QuantizedModel:
         mcfg = self._mcfg
         if self._calib_fn is None:
             def run(flat, imgs):
-                ops = CalibOps(flat)
+                ops = CalibOps(flat, mean_pixel=mcfg['mean_pixel'])
                 twin_forward(ops, imgs, mcfg)
                 return ops.maxabs
             self._calib_fn = jax.jit(run)
@@ -509,7 +559,8 @@ class QuantizedModel:
             scales, acc = self.act_scales, self.acc_dtype
 
             def fn(q, flat, x):
-                ops = Int8Ops(q, flat, scales, acc)
+                ops = Int8Ops(q, flat, scales, acc,
+                              mean_pixel=mcfg['mean_pixel'])
                 return twin_forward(ops, x, mcfg)
 
             self._fn = jax.jit(fn)
