@@ -235,6 +235,37 @@ def test_u8_input_matches_molded_float():
                                       np.asarray(out_u[k]))
 
 
+@pytest.mark.parametrize('backbone', ['resnet18', 'resnet50'])
+def test_shortcut_requant_sites(backbone):
+    """The projection-shortcut branch requantizes to s8 at its own
+    calibration site (keeps the int32 accumulator out of HBM); an
+    artifact calibrated BEFORE those sites existed must still serve
+    via the float fallback, with close outputs."""
+    config, model, variables, imgs = _make(backbone)
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    scales = dict(qm.calibrate(imgs))
+    sc_sites = [s for s in scales
+                if s.endswith('branch1/out') or s.endswith('sc/out')]
+    assert sc_sites, 'no shortcut requant sites were calibrated'
+    ref = qm(imgs)
+    # simulate a pre-shortcut-site artifact
+    qm2 = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    qm2.act_scales = {k: v for k, v in scales.items()
+                      if k not in sc_sites}
+    old = qm2(imgs)
+    flt = qm.float_twin(imgs)
+    for k in ref:
+        f = np.asarray(flt[k])
+        denom = max(1e-6, float(np.abs(f).max()))
+        # both paths are int8 approximations of the float twin; on a
+        # random-init net each sits within the usual PTQ noise band
+        for got in (np.asarray(ref[k]), np.asarray(old[k])):
+            assert np.isfinite(got).all(), k
+            assert float(np.abs(got - f).max()) / denom < 0.25, k
+
+
 def test_calibration_on_zero_activations_is_safe():
     """A site calibrating to max|x| == 0 (e.g. all-black batch) must not
     divide by zero — outputs stay finite (bias-only), never NaN."""

@@ -137,6 +137,10 @@ class F32Ops:
         # `site` marks a requantization point for the int8 phase.
         return jax.nn.relu(x)
 
+    def requant(self, x, site):
+        # `site` marks the int8 phase's shortcut-branch requantization.
+        return x
+
     def add(self, a, b):
         return a + b
 
@@ -170,6 +174,9 @@ class CalibOps(F32Ops):
         if site:
             self._observe(site, y)
         return y
+
+    def requant(self, x, site):
+        return self._observe(site, x)
 
     def flatten(self, x, site):
         return self._observe(site, super().flatten(x, site))
@@ -269,8 +276,26 @@ class Int8Ops:
             return self._q8(y, site)
         return y
 
+    def requant(self, x, site):
+        """Requantize a float branch (shortcut-conv output) back to s8.
+
+        Without this, XLA materializes the shortcut conv's int32
+        accumulator in HBM (4 bytes/elem) because its only consumer is
+        the residual join in a different fusion — at C2 that is 2.7 GB
+        of traffic for one conv (serving trace, PERF.md). Costs one
+        extra quantization step on the shortcut branch only.
+        Falls back to the float path for artifacts calibrated before
+        this site existed."""
+        if site not in self.scales:
+            return x
+        return self._q8(x, site)
+
     def add(self, a, b):
-        # residual join: operands arrive dequantized (float)
+        # residual join: operands arrive as float or s8 (_QT)
+        if isinstance(a, _QT):
+            a = self.dequant(a)
+        if isinstance(b, _QT):
+            b = self.dequant(b)
         return a + b
 
     def maxpool(self, x):
@@ -339,7 +364,11 @@ def _bottleneck_backbone(ops, x, architecture, mcfg):
 
     def block(y, stage, blk, strides, conv_shortcut):
         c = f'res{stage}{blk}_branch'
-        sc = ops.conv(y, c + '1', strides, 'VALID') if conv_shortcut \
+        # shortcut conv output requantizes to s8 (ops.requant) so the
+        # residual join reads 1 byte/elem, not a 4-byte int32
+        # accumulator materialized across fusion boundaries
+        sc = ops.requant(ops.conv(y, c + '1', strides, 'VALID'),
+                         c + '1/out') if conv_shortcut \
             else _dequant_maybe(ops, y)
         r = ops.conv(y, c + '2a', strides, 'VALID')
         r = ops.relu(r, c + '2a/out')
@@ -376,7 +405,9 @@ def _basic_backbone(ops, x, architecture, mcfg):
             base = f'stage{stage + 1}_unit{blk + 1}_'
             strides = 2 if (blk == 0 and stage > 0) else 1
             cut = 'post' if blk == 0 else 'pre'
-            sc = ops.conv(y, base + 'sc', strides, 'VALID') \
+            sc = ops.requant(
+                ops.conv(y, base + 'sc', strides, 'VALID'),
+                base + 'sc/out') \
                 if cut == 'post' else _dequant_maybe(ops, y)
             r = ops.conv(y, base + 'conv1', strides,
                          [(1, 1), (1, 1)])
