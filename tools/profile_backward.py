@@ -23,14 +23,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, reps=6):
+def timeit(fn, *args, reps=48):
+    """Deep dispatch queue: the remote tunnel adds ~2-4 ms per call
+    until ~48 calls are queued ahead of the sync (PERF.md methodology
+    note), so shallow-queue timings overstate every op by ~3 ms."""
     out = fn(*args)
     jax.tree.leaves(out)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+    _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1, :1]
+                      .astype(jnp.float32)))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+    _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1, :1]
+                      .astype(jnp.float32)))
     return (time.perf_counter() - t0) / reps
 
 
