@@ -12,11 +12,19 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
 
 vs_baseline is measured against the 5,000 imgs/sec/chip north-star target
-(BASELINE.md): value / 5000. Note the measured chip roofline (PERF.md):
-53.65 GFLOP/img over a measured ~164 TF/s MXU peak puts the bf16
-speed-of-light at ~3,050 imgs/sec on this v5e; the int8 path wins by
-halving HBM traffic, not by double-rate MXU (XLA/Mosaic expose no
-394-TOPS int8 mode as of jax 0.9).
+(BASELINE.md): value / 5000. Chip roofline (PERF.md, round-2 numbers):
+53.65 GFLOP/img at the measured ~230 TOPS int8 conv rate puts the int8
+compute speed-of-light at ~4,290 imgs/sec on this v5e; the serving path
+additionally pays bandwidth-bound time at the high-resolution stages.
+
+Accuracy gates (both must pass before the number prints):
+  1. flagship random-init: int8 within rel<0.15 of the float twin;
+  2. committed TRAINED artifact (tests/data/gate_int8.msgpack, built by
+     tools/make_gate_artifact.py): int8 within rel<0.08 of its float
+     twin AND within rel<0.005 of the export-time int8 golden (the
+     precision tripwire: ANY >0.5% serving-path regression fails) — a
+     deliberately corrupted scale fails this gate
+     (tests/test_quant.py::test_gate_artifact_catches_broken_scale).
 
 Env knobs: BENCH_BATCH (default 128), BENCH_ITERS (default 20),
 BENCH_IMAGE='H,W' to override the input resolution, BENCH_QUANT=0 for
@@ -28,6 +36,48 @@ from __future__ import annotations
 import json
 import os
 import time
+
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_trained_gate():
+    """Strict int8 accuracy gate on the committed trained artifact.
+
+    Random-init gates are loose (rel<0.15) because random nets quantize
+    poorly; a trained net quantizes to a few %, so a broken weight/activation
+    scale or epilogue-semantics drift fails here deterministically."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ursonet_tpu.checkpoint.quant_store import load_quantized
+
+    art = os.path.join(_ROOT, 'tests', 'data', 'gate_int8.msgpack')
+    gold = os.path.join(_ROOT, 'tests', 'data', 'gate_golden.npz')
+    if not (os.path.exists(art) and os.path.exists(gold)):
+        print(json.dumps({'warning': 'trained gate artifact missing; '
+                          'run tools/make_gate_artifact.py'}))
+        return
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'make_gate_artifact',
+        os.path.join(_ROOT, 'tools', 'make_gate_artifact.py'))
+    mga = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mga)
+    cfg = mga.gate_config()
+    cfg.update()
+    qm = load_quantized(art, cfg)
+    g = np.load(gold)
+    x = jnp.asarray(g['golden_in'])
+    out_q = {k: np.asarray(v) for k, v in qm(x).items()}
+    out_f = {k: np.asarray(v) for k, v in qm.float_twin(x).items()}
+    for k in out_q:
+        nf = max(float(np.linalg.norm(out_f[k])), 1e-9)
+        rel = float(np.linalg.norm(out_q[k] - out_f[k])) / nf
+        assert rel < 0.08, f'trained int8 gate failed on {k}: rel={rel}'
+        ng = max(float(np.linalg.norm(g[f'q_{k}'])), 1e-9)
+        drift = float(np.linalg.norm(out_q[k] - g[f'q_{k}'])) / ng
+        assert drift < 0.005, \
+            f'int8 output drifted from export-time golden on {k}: {drift}'
 
 
 def main():
@@ -119,6 +169,7 @@ def main():
             rel = (np.linalg.norm(out[k] - ref[k])
                    / (np.linalg.norm(ref[k]) + 1e-9))
             assert rel < 0.15, f"int8 accuracy gate failed on {k}: {rel}"
+        run_trained_gate()
 
         forward = qm  # production serving call (weights as arguments)
         metric = f"{backbone}_{h}x{w}_int8_infer"

@@ -5,6 +5,8 @@ int8 pass must stay numerically close to the float pass — that is the
 accuracy contract of the serving mode.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -264,6 +266,63 @@ def test_shortcut_requant_sites(backbone):
         for got in (np.asarray(ref[k]), np.asarray(old[k])):
             assert np.isfinite(got).all(), k
             assert float(np.abs(got - f).max()) / denom < 0.25, k
+
+
+_GATE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_GATE_ART = os.path.join(_GATE_DIR, 'tests', 'data', 'gate_int8.msgpack')
+_GATE_GOLD = os.path.join(_GATE_DIR, 'tests', 'data', 'gate_golden.npz')
+
+
+def _load_gate():
+    import importlib.util
+    from ursonet_tpu.checkpoint.quant_store import load_quantized
+    spec = importlib.util.spec_from_file_location(
+        'make_gate_artifact',
+        os.path.join(_GATE_DIR, 'tools', 'make_gate_artifact.py'))
+    mga = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mga)
+    cfg = mga.gate_config()
+    cfg.update()
+    return load_quantized(_GATE_ART, cfg), np.load(_GATE_GOLD)
+
+
+@pytest.mark.skipif(not os.path.exists(_GATE_ART),
+                    reason='gate artifact not built')
+def test_gate_artifact_passes():
+    """The committed trained artifact serves within 8% of its float twin
+    (the bench.py strict gate)."""
+    qm, g = _load_gate()
+    x = jnp.asarray(g['golden_in'])
+    out_q = qm(x)
+    out_f = qm.float_twin(x)
+    for k in out_q:
+        q, f = np.asarray(out_q[k]), np.asarray(out_f[k])
+        rel = np.linalg.norm(q - f) / max(np.linalg.norm(f), 1e-9)
+        assert rel < 0.08, (k, rel)
+        gq = np.asarray(g[f'q_{k}'])
+        drift = np.linalg.norm(q - gq) / max(np.linalg.norm(gq), 1e-9)
+        assert drift < 0.005, (k, drift)
+
+
+@pytest.mark.skipif(not os.path.exists(_GATE_ART),
+                    reason='gate artifact not built')
+def test_gate_artifact_catches_broken_scale():
+    """A deliberately corrupted activation scale must trip the gate —
+    proving the gate detects real quantization breakage (VERDICT item:
+    the random-init rel<0.15 gate alone would not)."""
+    qm, g = _load_gate()
+    site = next(s for s in qm.act_scales if '/out' in s)
+    qm.act_scales[site] = float(qm.act_scales[site]) * 7.0
+    x = jnp.asarray(g['golden_in'])
+    out_q = qm(x)
+    out_f = qm.float_twin(x)
+    rels = []
+    for k in out_q:
+        q, f = np.asarray(out_q[k]), np.asarray(out_f[k])
+        rels.append(np.linalg.norm(q - f)
+                    / max(np.linalg.norm(f), 1e-9))
+    assert max(rels) > 0.08, rels
 
 
 def test_calibration_on_zero_activations_is_safe():

@@ -53,7 +53,7 @@ class Speed(Dataset):
             dataset = json.load(f)
 
         nr_instances = len(dataset)
-        print('Loading', nr_instances, 'images')
+        print(f'SPEED {subset}: indexing {nr_instances} images')
 
         if subset not in ['test', 'real_test']:
             q_array = np.zeros((nr_instances, 4), np.float32)
@@ -69,7 +69,7 @@ class Speed(Dataset):
 
             ori_encoded = None
             if not config.REGRESS_ORI:
-                print('Encoding orientations using soft assignment..')
+                print('SPEED: precomputing orientation soft-assignment PMFs')
                 ori_encoded, ori_histogram_map, ori_output_mask = \
                     encoders.encode_ori(
                         q_array, config.ORI_BINS_PER_DIM, config.BETA,

@@ -62,7 +62,7 @@ class Urso(Dataset):
 
         ori_encoded = None
         if not config.REGRESS_ORI:
-            print('Encoding orientations using soft assignment..')
+            print('URSO: precomputing orientation soft-assignment PMFs')
             ori_encoded, ori_histogram_map, ori_output_mask = encoders.encode_ori(
                 q_array, config.ORI_BINS_PER_DIM, config.BETA,
                 np.array([-180, -90, -180]), np.array([180, 90, 180]))
@@ -71,7 +71,7 @@ class Urso(Dataset):
 
         loc_encoded = None
         if not config.REGRESS_LOC:
-            print('Encoding locations using soft assignment..')
+            print('URSO: precomputing location soft-assignment PMFs')
             # Location as (image_x, image_y, depth): Unreal -> camera frame
             # (urso.py:79-81): img_x = y/x, img_y = z/x, Z = x.
             img_x = t_array[:, 1] / t_array[:, 0]
