@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--regress_keypoints', action='store_true',
                    help='experimental; overrides the two above')
     p.add_argument('--sim2real', action='store_true')
+    p.add_argument('--sim2real_per_image_order', action='store_true',
+                   help='exact per-image op order for the on-device '
+                        'sim2real pipeline (imgaug random_order '
+                        'semantics) at ~4x the pipeline cost')
     p.add_argument('--clr', action='store_true')
     p.add_argument('--f16', action='store_true',
                    help='bfloat16 compute on TPU')
@@ -131,6 +135,7 @@ def make_config(args):
     config.ROT_AUG = args.rot_aug
     config.F16 = args.f16
     config.SIM2REAL_AUG = args.sim2real
+    config.SIM2REAL_PER_IMAGE_ORDER = args.sim2real_per_image_order
     config.CLR = args.clr
     config.ROT_IMAGE_AUG = args.rot_image_aug
     config.OPTIMIZER = "SGD"

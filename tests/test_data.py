@@ -398,3 +398,54 @@ def test_native_loader_jpeg_and_png_pixel_parity(tmp_path):
         out = native_loader.load_batch(paths, 64, 64, 64, 64, 0, 0,
                                        nthreads=nthreads)
         np.testing.assert_array_equal(out, np.stack(refs))
+
+
+def test_sim2real_per_image_order_exact():
+    """SIM2REAL_PER_IMAGE_ORDER applies each image's OWN op permutation
+    (imgaug random_order semantics, reference net.py:397): the batched
+    one-hot composition must equal a per-image sequential application of
+    the same ops with the same per-op keys."""
+    import jax
+    import jax.numpy as jnp
+    from ursonet_tpu.ops import augment as aug
+
+    b, h, w = 4, 24, 20
+    rng = np.random.RandomState(11)
+    gray = jnp.asarray(rng.rand(b, h, w, 1).astype(np.float32) * 255.0)
+    op_keys = jax.random.split(jax.random.PRNGKey(5), 5)
+    perms = np.stack([np.random.RandomState(i).permutation(5)
+                      for i in range(b)])
+    assert len({tuple(p) for p in perms}) > 1  # orders really differ
+
+    got = aug._sim2real_per_image_order(jnp.asarray(perms), op_keys,
+                                        gray, b)
+
+    # expected: per image, apply its ops sequentially on the full batch
+    # (each op draws batch-shaped magnitudes from its own key, so image
+    # i's magnitudes are position-independent) and keep row i
+    expected = np.zeros_like(np.asarray(got))
+    for i in range(b):
+        x = gray
+        for t in range(5):
+            x = aug._SIM2REAL_OPS[perms[i, t]](x, op_keys[perms[i, t]], b)
+        expected[i] = np.asarray(x)[i]
+    np.testing.assert_allclose(np.asarray(got), expected,
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_sim2real_per_image_order_batch_path():
+    """The public entry point runs under jit in both order modes and the
+    exact mode actually changes the (shared-order) result."""
+    import jax
+    import jax.numpy as jnp
+    from ursonet_tpu.ops import augment as aug
+
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.rand(4, 24, 20, 3).astype(np.float32) * 255.)
+    key = jax.random.PRNGKey(0)
+    shared = jax.jit(aug.sim2real_batch)(key, images)
+    exact = jax.jit(lambda k, x: aug.sim2real_batch(
+        k, x, per_image_order=True))(key, images)
+    assert shared.shape == exact.shape == images.shape
+    assert np.isfinite(np.asarray(exact)).all()
+    assert not np.allclose(np.asarray(shared), np.asarray(exact))

@@ -80,6 +80,12 @@ class Config:
     # --- augmentation ----------------------------------------------------------
     ROT_AUG = True                  # camera-rotation homography warp
     SIM2REAL_AUG = False            # grayscale + noise/blur/brightness/dropout
+    # Exact per-image op ORDER for the on-device sim2real pipeline
+    # (imgaug random_order semantics, reference net.py:397). Default
+    # False = one order per step shared across the batch (per-image
+    # magnitudes; identical marginal distribution) at ~1/4 the pipeline
+    # cost. Host-side augmentation (--host_augment) is always exact.
+    SIM2REAL_PER_IMAGE_ORDER = False
     ROT_IMAGE_AUG = False           # in-plane roll warp
     # 'nearest' matches the reference cv2.warpPerspective flag bit-pattern
     # (utils.py:50 passes WARP_INVERSE_MAP alone => INTER_NEAREST);

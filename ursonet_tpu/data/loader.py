@@ -394,7 +394,10 @@ def make_device_preprocess(config, dataset):
 
         if config.SIM2REAL_AUG:
             key, sub = jax.random.split(key)
-            images = aug.sim2real_batch(sub, images)
+            images = aug.sim2real_batch(
+                sub, images,
+                per_image_order=bool(getattr(
+                    config, 'SIM2REAL_PER_IMAGE_ORDER', False)))
 
         if rot:
             key, sub = jax.random.split(key)

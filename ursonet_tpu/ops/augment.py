@@ -304,29 +304,59 @@ def _op_dropout(x, key, b):
 _SIM2REAL_OPS = (_op_noise, _op_blur, _op_add, _op_mul, _op_dropout)
 
 
-def sim2real_batch(key, images):
-    """Batched on-device sim2real (reference net.py:390-406): mandatory
-    grayscale, then with p=0.5 the 5-op pipeline in per-image random
-    order. images [B,H,W,3] float32 in [0,255].
+def _sim2real_per_image_order(perms, op_keys, gray, b):
+    """Apply the 5-op pipeline where image i uses ITS OWN op order
+    perms[i] (exact imgaug random_order semantics, net.py:397).
 
-    Order handling: the batch shares one op order per step (drawn from the
-    same key), while every op's magnitudes stay per-image — a TPU-friendly
-    relaxation of imgaug's per-image random_order that preserves each
-    sample's marginal augmentation distribution.
+    At each of the 5 steps, all 5 op outputs are computed on the batch
+    and each image one-hot-selects its step-t op — 25 op applications
+    instead of 5, but branch-free and fully fusible (a per-image
+    lax.switch would vmap to the same select anyway). Each op j draws
+    its per-image magnitudes from op_keys[j] regardless of its position
+    in an image's order, matching the reference where order and
+    magnitude are independent."""
+    x = gray
+    for t in range(5):
+        outs = [op(x, op_keys[j], b)
+                for j, op in enumerate(_SIM2REAL_OPS)]
+        onehot = jax.nn.one_hot(perms[:, t], 5, dtype=x.dtype)  # [B,5]
+        x = sum(onehot[:, j][:, None, None, None] * outs[j]
+                for j in range(5))
+    return x
+
+
+def sim2real_batch(key, images, per_image_order=False):
+    """Batched on-device sim2real (reference net.py:390-406): mandatory
+    grayscale, then with p=0.5 the 5-op pipeline in random order.
+    images [B,H,W,3] float32 in [0,255].
+
+    Order handling: by default the batch shares one op order per step
+    (drawn from the same key), while every op's magnitudes stay
+    per-image — a TPU-friendly relaxation of imgaug's per-image
+    random_order that preserves each sample's marginal augmentation
+    distribution. `per_image_order=True` (config
+    SIM2REAL_PER_IMAGE_ORDER) restores exact per-image orders at ~4×
+    the pipeline cost (still a few ms per batch; the pipeline is a
+    small fraction of the train step).
     """
     b = images.shape[0]
     k_apply, k_perm, k_ops = jax.random.split(key, 3)
     gray = (0.2126 * images[..., 0] + 0.7152 * images[..., 1] +
             0.0722 * images[..., 2])[..., None]
 
-    perm = jax.random.permutation(k_perm, 5)
     op_keys = jax.random.split(k_ops, 5)
 
-    branches = tuple(
-        (lambda x, k, _op=op: _op(x, k, b)) for op in _SIM2REAL_OPS)
-    x = gray
-    for i in range(5):
-        x = jax.lax.switch(perm[i], branches, x, op_keys[i])
+    if per_image_order:
+        perms = jax.vmap(lambda k: jax.random.permutation(k, 5))(
+            jax.random.split(k_perm, b))
+        x = _sim2real_per_image_order(perms, op_keys, gray, b)
+    else:
+        perm = jax.random.permutation(k_perm, 5)
+        branches = tuple(
+            (lambda x, k, _op=op: _op(x, k, b)) for op in _SIM2REAL_OPS)
+        x = gray
+        for i in range(5):
+            x = jax.lax.switch(perm[i], branches, x, op_keys[i])
     x = jnp.clip(x, 0.0, 255.0)
 
     apply = jax.random.bernoulli(k_apply, shape=(b, 1, 1, 1))
