@@ -100,6 +100,7 @@ def main():
     config = Config()
     # ablation knobs for the int8 serving path (default = production)
     config.QUANT_STEM_S2D = os.environ.get('BENCH_S2D', '0') != '0'
+    config.QUANT_BF16_STEM = os.environ.get('BENCH_BF16_STEM', '0') != '0'
     u8_input = os.environ.get('BENCH_U8', '1') != '0'
     config.BACKBONE = backbone
     config.BOTTLENECK_WIDTH = 128

@@ -336,3 +336,44 @@ def test_calibration_on_zero_activations_is_safe():
     out = qm(zeros)
     for k, v in out.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_bf16_stem_close_to_float():
+    """QUANT_BF16_STEM runs the molded input + stem conv in bf16 inside
+    the int8 path; outputs must stay close to the float twin (the stem
+    in bf16 is strictly more precise than the s8 input path) and the
+    artifact must record the knob (config mismatch fails at load)."""
+    config, model, variables, imgs = _make('resnet50')
+    config.QUANT_BF16_STEM = True
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    assert qm._mcfg['bf16_stem']
+    ref = {k: np.asarray(v) for k, v in qm.float_twin(imgs).items()}
+    qm.calibrate(imgs)
+    out = {k: np.asarray(v) for k, v in qm(imgs).items()}
+    for k in ref:
+        rel = (np.linalg.norm(out[k] - ref[k])
+               / (np.linalg.norm(ref[k]) + 1e-9))
+        assert rel < 0.15, f'{k}: {rel}'
+    # u8 raw input works through the bf16 stem too
+    raw = np.clip(np.asarray(imgs) + np.asarray(config.MEAN_PIXEL),
+                  0, 255).astype(np.uint8)
+    out_u8 = qm(jnp.asarray(raw))
+    for k, v in out_u8.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    # artifact records the knob: loading under a mismatched config fails
+    from ursonet_tpu.checkpoint.quant_store import load_quantized, \
+        save_quantized
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as td:
+        path = _os.path.join(td, 'm.msgpack')
+        save_quantized(path, qm)
+        config.QUANT_BF16_STEM = False
+        with pytest.raises(ValueError):
+            load_quantized(path, config)
+        config.QUANT_BF16_STEM = True
+        qm2 = load_quantized(path, config)
+        out2 = {k: np.asarray(v) for k, v in qm2(imgs).items()}
+        for k in out:
+            np.testing.assert_allclose(out2[k], out[k], rtol=1e-5,
+                                       atol=1e-5)

@@ -114,4 +114,5 @@ _CONFIG_KEYS: Dict[str, str] = {
     'loc_bins': 'LOC_BINS_PER_DIM',
     'ori_bins': 'ORI_BINS_PER_DIM',
     'mean_pixel': 'MEAN_PIXEL',
+    'bf16_stem': 'QUANT_BF16_STEM',
 }

@@ -131,6 +131,13 @@ class Config:
     # measured +1.8% on-device plus 4x less host->device traffic.
     QUANT_STEM_S2D = False
     INT8_U8_INPUT = True
+    # Run the stem conv (and the molded input) in bf16 inside the int8
+    # serving path: skips the input quantize + s8 relayout and XLA's
+    # slow 3-channel int8 conv emitter, at 2 bytes/px input traffic.
+    # Strictly MORE accurate than the s8 input. Off by default until
+    # measured on hardware (flip requires regenerating committed int8
+    # goldens, tools/make_gate_artifact.py).
+    QUANT_BF16_STEM = False
 
     # Rematerialize residual blocks in the backward pass (jax.checkpoint):
     # ~30% more FLOPs for a large cut in activation HBM — enables bigger

@@ -2,12 +2,10 @@
 
 TPU-native serving-path optimization with no reference counterpart (the
 reference's fastest inference mode is Keras f16, net.py:589-593). The
-UrsoNet forward at the flagship shape is MXU+HBM bound; int8 activations
-and weights halve the HBM traffic of every convolution, which measures
-~1.45x end-to-end on v5e (PERF.md). XLA's int8 convolutions execute at
-bf16-equivalent MXU rates on this chip (the native double-rate int8 mode
-is not exposed through XLA or Mosaic as of jax 0.9 — see the probe log in
-PERF.md), so the win is bandwidth, not compute.
+UrsoNet forward at the flagship shape is MXU+HBM bound; int8 halves the
+HBM traffic of every convolution AND runs the 3x3 convs at the v5e
+double-rate int8 MXU mode (~230 TOPS, 1.55-1.6x the bf16 rate — PERF.md
+round-2 roofline), measuring 1.8x end-to-end over bf16 serving.
 
 Scheme (standard symmetric PTQ):
   * weights   per-output-channel int8:  s_w[o] = max|W[..,o]| / 127
@@ -214,7 +212,7 @@ class Int8Ops:
     keeps the head outputs (e.g. the 4-float quaternion) clean."""
 
     def __init__(self, q, flat, act_scales, acc_dtype=jnp.float32,
-                 mean_pixel=None):
+                 mean_pixel=None, bf16_stem=False):
         """q: {site: (w8, sw, b)} from prepare(); flat: float kernels for
         the dense_final sites. Both may be jit tracers — the weight
         trees ride as ARGUMENTS of the jitted forward, not as baked-in
@@ -222,6 +220,7 @@ class Int8Ops:
         HLO upload for every new checkpoint)."""
         self.dt = acc_dtype
         self.mean_pixel = mean_pixel
+        self.bf16_stem = bf16_stem
         # Clamp: a site whose calibration batch produced all-zero
         # activations (dead ReLU on a small batch) must not divide by 0.
         self.scales = {k: max(float(v), 1e-10)
@@ -245,10 +244,29 @@ class Int8Ops:
         return _QT(y.astype(jnp.int8), s)
 
     def input(self, x):
-        return self._q8(F32Ops._mold_maybe(self, x), 'input')
+        x = F32Ops._mold_maybe(self, x)
+        if self.bf16_stem:
+            # keep the molded pixels in bf16 and run the stem conv in
+            # bf16 (see conv below): skips the input-quantize pass and
+            # the s8 input relayout copy, and avoids XLA's slow
+            # 3-input-channel int8 conv emitter (PERF.md stem audit).
+            # Input pixels are integers <= 255, exact in bf16... up to
+            # the 8-bit mantissa (max err 0.5 px ~= 1/3 of the int8
+            # input step) — strictly more precise than the s8 input.
+            return x.astype(jnp.bfloat16)
+        return self._q8(x, 'input')
 
     def conv(self, x, site, stride=1, padding='SAME'):
         w8, sw, b = self.q[site]
+        if not isinstance(x, _QT):
+            # bf16 stem path: conv(x, w8)*sw + b with the SAME stored
+            # int8 kernel (artifact-compatible; only the compute dtype
+            # of this one conv differs)
+            acc = jax.lax.conv_general_dilated(
+                x, w8.astype(jnp.bfloat16), (stride, stride), padding,
+                dimension_numbers=_conv_dn(x.shape, w8.shape),
+                preferred_element_type=jnp.float32)
+            return acc * sw.astype(jnp.float32) + b.astype(self.dt)
         acc = jax.lax.conv_general_dilated(
             x.arr, w8, (stride, stride), padding,
             dimension_numbers=_conv_dn(x.arr.shape, w8.shape),
@@ -523,6 +541,10 @@ class QuantizedModel:
             # derived from the kernel actually in `flat`, NOT the config
             # flag — an artifact saved post-rewrite stays self-describing
             stem_s2d=self.flat[stem][0].shape[0] == 4,
+            # bf16 stem: serving ablation knob (input + stem conv in
+            # bf16, everything else int8) — artifact-validated like the
+            # other knobs so goldens stay reproducible
+            bf16_stem=bool(getattr(config, 'QUANT_BF16_STEM', False)),
             mean_pixel=tuple(float(v) for v in config.MEAN_PIXEL),
         )
         self.act_scales: Optional[Dict[str, float]] = None
@@ -591,7 +613,8 @@ class QuantizedModel:
 
             def fn(q, flat, x):
                 ops = Int8Ops(q, flat, scales, acc,
-                              mean_pixel=mcfg['mean_pixel'])
+                              mean_pixel=mcfg['mean_pixel'],
+                              bf16_stem=mcfg.get('bf16_stem', False))
                 return twin_forward(ops, x, mcfg)
 
             self._fn = jax.jit(fn)
