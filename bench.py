@@ -35,9 +35,70 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 _ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _emit(obj) -> None:
+    """The ONE stdout JSON line the driver parses."""
+    print(json.dumps(obj), flush=True)
+
+
+def acquire_backend(max_attempts: int | None = None,
+                    max_wait_s: float | None = None):
+    """Bounded retry loop around JAX backend initialization.
+
+    The TPU tunnel can transiently refuse claims (round-2 outage:
+    'UNAVAILABLE: TPU backend setup/compile error' for 5h+ —
+    PERF.md operational note 3). A raw crash here erases the round's
+    headline metric, so: retry with exponential backoff inside ONE
+    long-lived process (never SIGTERM a client mid-PJRT-init — it
+    orphans the chip grant, note 2), and on final failure return the
+    error for a structured JSON report instead of a traceback.
+
+    Returns (devices, attempts) on success, (None, attempts) on failure
+    with the last error string stashed in acquire_backend.last_error.
+    """
+    import jax
+    import jax.extend  # for backend.clear_backends between attempts
+
+    max_attempts = max_attempts if max_attempts is not None else int(
+        os.environ.get('BENCH_BACKEND_ATTEMPTS', '8'))
+    max_wait_s = max_wait_s if max_wait_s is not None else float(
+        os.environ.get('BENCH_BACKEND_MAX_WAIT', '900'))
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    backoff = 15.0
+    while True:
+        attempt += 1
+        try:
+            devs = jax.devices()
+            return devs, attempt
+        except Exception as e:  # RuntimeError / JaxRuntimeError
+            err = f'{type(e).__name__}: {e}'
+            acquire_backend.last_error = err
+            remaining = deadline - time.monotonic()
+            if attempt >= max_attempts or remaining <= 0:
+                return None, attempt
+            # Drop the failed-backend cache so the next attempt re-inits
+            # the PJRT client instead of replaying the cached failure.
+            try:
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
+            delay = min(backoff, remaining, 300.0)
+            backoff *= 2
+            print(json.dumps({'status': 'backend unavailable; retrying',
+                              'attempt': attempt,
+                              'sleep_s': round(delay, 1),
+                              'error': err[:300]}),
+                  file=sys.stderr, flush=True)
+            time.sleep(delay)
+
+
+acquire_backend.last_error = ''
 
 
 def run_trained_gate():
@@ -46,10 +107,13 @@ def run_trained_gate():
     Random-init gates are loose (rel<0.15) because random nets quantize
     poorly; a trained net quantizes to a few %, so a broken weight/activation
     scale or epilogue-semantics drift fails here deterministically."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ursonet_tpu.checkpoint.quant_store import load_quantized
+    from ursonet_tpu.models.quant import (TRAINED_GATE_DRIFT,
+                                          TRAINED_GATE_REL)
 
     art = os.path.join(_ROOT, 'tests', 'data', 'gate_int8.msgpack')
     gold = os.path.join(_ROOT, 'tests', 'data', 'gate_golden.npz')
@@ -67,17 +131,31 @@ def run_trained_gate():
     cfg.update()
     qm = load_quantized(art, cfg)
     g = np.load(gold)
+    # The drift tripwire compares against goldens computed on the
+    # EXPORT backend; float matmul precision differs across backends
+    # (TPU default-precision vs CPU), so only enforce it when the
+    # current backend matches the recorded one (ADVICE r2).
+    export_backend = str(g['backend']) if 'backend' in g else None
+    same_backend = (export_backend is None
+                    or export_backend == jax.default_backend())
     x = jnp.asarray(g['golden_in'])
     out_q = {k: np.asarray(v) for k, v in qm(x).items()}
     out_f = {k: np.asarray(v) for k, v in qm.float_twin(x).items()}
     for k in out_q:
         nf = max(float(np.linalg.norm(out_f[k])), 1e-9)
         rel = float(np.linalg.norm(out_q[k] - out_f[k])) / nf
-        assert rel < 0.08, f'trained int8 gate failed on {k}: rel={rel}'
+        assert rel < TRAINED_GATE_REL, \
+            f'trained int8 gate failed on {k}: rel={rel}'
         ng = max(float(np.linalg.norm(g[f'q_{k}'])), 1e-9)
         drift = float(np.linalg.norm(out_q[k] - g[f'q_{k}'])) / ng
-        assert drift < 0.005, \
-            f'int8 output drifted from export-time golden on {k}: {drift}'
+        if same_backend:
+            assert drift < TRAINED_GATE_DRIFT, \
+                f'int8 output drifted from export-time golden on {k}: {drift}'
+        elif drift >= TRAINED_GATE_DRIFT:
+            print(json.dumps({'warning': f'golden drift {drift:.4f} on {k} '
+                              f'ignored: export backend {export_backend!r} '
+                              f'!= {jax.default_backend()!r}'}),
+                  file=sys.stderr, flush=True)
 
 
 def main():
@@ -89,7 +167,21 @@ def main():
     from ursonet_tpu.models.ursonet import build_model
     from ursonet_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    devs, attempts = acquire_backend()
+    if devs is None:
+        # Structured failure the driver can record (round-2 lesson:
+        # a traceback here cost the round its verified number).
+        _emit({'metric': 'resnet50_int8_infer', 'value': 0.0,
+               'unit': 'imgs/sec/chip', 'vs_baseline': 0.0,
+               'error': 'backend unavailable', 'attempts': attempts,
+               'last_error': acquire_backend.last_error[:300]})
+        return
+
+    try:
+        enable_compilation_cache()
+    except Exception as e:
+        print(json.dumps({'warning': f'compilation cache disabled: {e}'}),
+              file=sys.stderr, flush=True)
 
     batch = int(os.environ.get('BENCH_BATCH', '128'))
     iters = int(os.environ.get('BENCH_ITERS', '20'))
@@ -159,7 +251,8 @@ def main():
     reduce_out = jax.jit(lambda o: sum(jnp.sum(v.astype(jnp.float32))
                                        for v in o.values()))
     if quant:
-        from ursonet_tpu.models.quant import QuantizedModel
+        from ursonet_tpu.models.quant import (RANDOM_INIT_GATE_REL,
+                                              QuantizedModel)
         qm = QuantizedModel.from_variables(config, params, batch_stats)
         qm.calibrate(images[:8])
         # Accuracy gate: int8 must track the float model on this batch.
@@ -169,7 +262,8 @@ def main():
         for k in ref:
             rel = (np.linalg.norm(out[k] - ref[k])
                    / (np.linalg.norm(ref[k]) + 1e-9))
-            assert rel < 0.15, f"int8 accuracy gate failed on {k}: {rel}"
+            assert rel < RANDOM_INIT_GATE_REL, \
+                f"int8 accuracy gate failed on {k}: {rel}"
         run_trained_gate()
 
         forward = qm  # production serving call (weights as arguments)
@@ -197,13 +291,23 @@ def main():
     assert s == s, "non-finite benchmark output"
 
     imgs_per_sec = batch * iters / dt
-    print(json.dumps({
+    _emit({
         "metric": metric,
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / 5000.0, 4),
-    }))
+    })
 
 
 if __name__ == '__main__':
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — last-resort structured report
+        # Anything unexpected (mid-run backend loss, gate failure) still
+        # produces ONE parseable JSON line; the traceback goes to stderr.
+        import traceback
+        traceback.print_exc()
+        _emit({'metric': 'resnet50_int8_infer', 'value': 0.0,
+               'unit': 'imgs/sec/chip', 'vs_baseline': 0.0,
+               'error': f'{type(e).__name__}: {e}'[:300]})
+        sys.exit(1)

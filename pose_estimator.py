@@ -199,22 +199,30 @@ def resolve_and_load_weights(engine, args):
             "mrcnn_mask"], verbose=True)
         return
     if w == 'imagenet':
-        path = os.path.join(args.models_dir,
-                            f'imagenet_{engine.config.BACKBONE}.h5')
-        if not os.path.exists(path):
+        from ursonet_tpu.checkpoint.h5_import import find_released_file
+        path = find_released_file(args.models_dir,
+                                  f'imagenet_{engine.config.BACKBONE}')
+        if path is None:
             raise SystemExit(
-                f"ImageNet weights not found at {path}; place the Keras "
-                f"{engine.config.BACKBONE} notop weights there.")
+                f"ImageNet weights not found under {args.models_dir}; "
+                f"place the Keras {engine.config.BACKBONE} notop weights "
+                "there (tools/verify_artifacts.py lists the filenames).")
         engine.load_weights(path, verbose=True)
         return
     if w in RELEASED_MODELS:
+        from ursonet_tpu.checkpoint.h5_import import find_released_file
         err = check_released_config(w, engine.config)
         if err:
             raise SystemExit(err)
-        path = os.path.join(args.models_dir, f'ursonet_{w}.h5')
-        if not os.path.exists(path):
+        key = w if w != 'speed' else \
+            f'speed_{engine.config.BOTTLENECK_WIDTH}_' \
+            f'{engine.config.ORI_BINS_PER_DIM}'
+        path = find_released_file(args.models_dir, key)
+        if path is None:
             raise SystemExit(
-                f"Released weights not found at {path}.")
+                f"Released weights for '{w}' not found under "
+                f"{args.models_dir} (tools/verify_artifacts.py lists the "
+                "expected filenames).")
         engine.load_weights(path, verbose=True)
         return
     if os.path.exists(args.weights):

@@ -220,7 +220,51 @@ def test_remat_matches_no_remat_grads():
         return float(val), grads
 
     v0, g0 = loss_of(False)
-    v1, g1 = loss_of(True)
+    # every checkpoint POLICY must give identical numerics — only the
+    # save/recompute schedule may differ (tools/sweep_remat.py times them)
+    for policy in (True, 'narrow', 'dots'):
+        v1, g1 = loss_of(policy)
+        assert v0 == pytest.approx(v1, rel=1e-6), policy
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_remat_policies_bottleneck_backbone():
+    """The 'narrow' policy path on the resnet50 bottleneck blocks (where
+    the checkpoint_name tags live) matches no-remat numerics."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from ursonet_tpu.config import Config
+    from ursonet_tpu.models.ursonet import build_model
+
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3),
+                    jnp.float32)
+    vals = {}
+    for remat in (False, 'narrow'):
+        cfg = Config()
+        cfg.BACKBONE = 'resnet50'
+        cfg.BOTTLENECK_WIDTH = 8
+        cfg.BRANCH_SIZE = 16
+        cfg.IMAGE_RESIZE_MODE = 'square'
+        cfg.IMAGE_MAX_DIM = cfg.IMAGE_MIN_DIM = 64
+        cfg.REMAT = remat
+        cfg.update()
+        model = build_model(cfg)
+        v = nn.unbox(model.init(jax.random.PRNGKey(0), x, training=False))
+
+        def loss_fn(params):
+            out = model.apply({'params': params,
+                               'batch_stats': v['batch_stats']}, x,
+                              training=True)
+            return jnp.sum(out['loc'] ** 2)
+
+        val, grads = jax.value_and_grad(loss_fn)(v['params'])
+        vals[remat] = (float(val), grads)
+    v0, g0 = vals[False]
+    v1, g1 = vals['narrow']
     assert v0 == pytest.approx(v1, rel=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),

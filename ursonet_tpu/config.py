@@ -140,8 +140,14 @@ class Config:
     QUANT_BF16_STEM = False
 
     # Rematerialize residual blocks in the backward pass (jax.checkpoint):
-    # ~30% more FLOPs for a large cut in activation HBM — enables bigger
-    # per-chip batches at high resolution.
+    # trades FLOPs for activation HBM at high resolution. Values:
+    #   False     no explicit remat (XLA force-remats under HBM pressure)
+    #   True/'all' full block remat (nothing saved inside blocks)
+    #   'narrow'  save only the narrow f1/f2-wide activations; backward
+    #             re-runs the cheap 1x1 expansion, never the 3x3 conv
+    #   'dots'    jax checkpoint_dots policy (degenerates to 'all' for
+    #             conv nets — documented by tools/sweep_remat.py)
+    # Gradients are identical across policies (tests/test_model.py).
     REMAT = False
 
     # --- precision ---------------------------------------------------------------

@@ -122,23 +122,31 @@ def data_generator(dataset, config, shuffle=True, batch_size=1,
     Error-tolerant: skips bad images, raises after 5 failures
     (net.py:551-559).
 
-    batch_slice=(lo, hi): multi-host per-process input sharding — the id
-    sequence is still the full deterministic global stream (identical on
-    every host given the same seed), but only rows lo:hi of each global
-    batch are decoded and yielded (parallel/multihost.py). N.b. the
-    5-strike error skip would desync the global stream across hosts;
-    multi-host runs should therefore use validated datasets.
+    batch_slice: multi-host per-process input sharding — the id sequence
+    is still the full deterministic global stream (identical on every
+    host given the same seed), but only this process's rows of each
+    global batch are decoded and yielded. Accepts (lo, hi) for the
+    standard contiguous mapping or an index array for interleaved
+    topologies (parallel/multihost.local_batch_slice). With a
+    batch_slice set, ANY per-image error raises immediately: the
+    single-host 5-strike skip would silently desync the global shuffle
+    stream across hosts and corrupt every subsequent batch composition.
     """
     if raw is None:
         raw = bool(getattr(config, 'AUGMENT_ON_DEVICE', False))
-    lo, hi = batch_slice if batch_slice is not None else (0, batch_size)
+    multi_host = batch_slice is not None
+    from ursonet_tpu.parallel.multihost import slice_rows
+    sel_rows = slice_rows(batch_slice, batch_size)
+    # local position of each selected global row; -1 = not ours
+    row_pos = np.full(batch_size, -1, np.int64)
+    row_pos[sel_rows] = np.arange(len(sel_rows))
     # Two RNG streams: the id-shuffle stream must advance identically on
     # every host (it defines the global batch composition), while the
     # per-sample augmentation stream is host-local (parity mode consumes
     # it per LOADED sample, which differs per slice).
     rng = np.random.RandomState(seed)
     aug_rng = np.random.RandomState(
-        None if seed is None else seed + 104729 + lo)
+        None if seed is None else seed + 104729 + int(sel_rows[0]))
     image_ids = np.copy(dataset.image_ids)
     dtype = np.float16 if config.F16 else np.float32
     b = 0
@@ -180,7 +188,8 @@ def data_generator(dataset, config, shuffle=True, batch_size=1,
                     if shuffle and image_index == 0:
                         rng.shuffle(image_ids)
                     ids.append(int(image_ids[image_index]))
-                sel = ids[lo:hi]  # this process's rows of the global batch
+                # this process's rows of the global batch
+                sel = [ids[j] for j in sel_rows]
                 paths = [dataset.image_info[i]['path'] for i in sel]
                 images = native_loader.load_batch(
                     paths, g['out_h'], g['out_w'], g['content_h'],
@@ -202,6 +211,8 @@ def data_generator(dataset, config, shuffle=True, batch_size=1,
             except Exception:
                 import logging
                 logging.exception("Error in native batch load")
+                if multi_host:
+                    raise  # skipping would desync the global stream
                 error_count += 1
                 if error_count > 5:
                     raise
@@ -213,28 +224,32 @@ def data_generator(dataset, config, shuffle=True, batch_size=1,
                 rng.shuffle(image_ids)
             image_id = int(image_ids[image_index])
 
-            if lo <= b < hi:  # rows outside this host's slice are skipped
+            pos = row_pos[b]
+            if pos >= 0:  # rows outside this host's slice are skipped
                 if raw:
                     sample = _load_raw(dataset, config, image_id)
                 else:
                     sample = _load_parity(dataset, config, image_id,
                                           aug_rng, dtype)
-                if b == lo:
-                    batch = {k: np.zeros((hi - lo,) + np.shape(v),
+                if not batch:
+                    batch = {k: np.zeros((len(sel_rows),) + np.shape(v),
                                          dtype=np.asarray(v).dtype)
                              for k, v in sample.items()}
                 for k, v in sample.items():
-                    batch[k][b - lo] = v
+                    batch[k][pos] = v
             b += 1
             if b >= batch_size:
                 yield batch
                 b = 0
+                batch = {}
         except (GeneratorExit, KeyboardInterrupt):
             raise
         except Exception:
             import logging
             logging.exception("Error processing image %s",
                               dataset.image_info[image_id])
+            if multi_host:
+                raise  # skipping would desync the global stream
             error_count += 1
             if error_count > 5:
                 raise

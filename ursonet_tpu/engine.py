@@ -318,7 +318,7 @@ class UrsoNet:
                         if mh:
                             batch = multihost.shard_batch_local(
                                 self.mesh, next(train_gen),
-                                cfg.BATCH_SIZE)
+                                cfg.BATCH_SIZE, bslice)
                         else:
                             batch = parallel.shard_batch(self.mesh,
                                                          next(train_gen))
@@ -353,7 +353,7 @@ class UrsoNet:
                             if mh:
                                 batch = multihost.shard_batch_local(
                                     self.mesh, next(val_gen),
-                                    cfg.BATCH_SIZE)
+                                    cfg.BATCH_SIZE, bslice)
                             else:
                                 batch = parallel.shard_batch(
                                     self.mesh, next(val_gen))
@@ -387,9 +387,23 @@ class UrsoNet:
                     # per-epoch snapshots (state_latest always remains
                     # for exact resume). Reference keeps all (net.py:1120).
                     import glob as _glob
+                    import re as _re
                     import shutil as _shutil
-                    snaps = sorted(_glob.glob(
-                        self.checkpoint_path.replace('*epoch*', '*')))
+                    # Match ONLY per-epoch snapshots (all-digit epoch
+                    # field) and order by parsed epoch: a bare '*' glob
+                    # could delete unrelated weight files sharing the
+                    # prefix, and lexicographic order breaks past epoch
+                    # 9999 under %04d padding (ADVICE r2).
+                    pat = _re.compile(_re.escape(
+                        os.path.basename(self.checkpoint_path)
+                    ).replace(_re.escape('*epoch*'), r'(\d+)') + r'\Z')
+                    snaps = []
+                    for p in _glob.glob(
+                            self.checkpoint_path.replace('*epoch*', '*')):
+                        m = pat.match(os.path.basename(p))
+                        if m:
+                            snaps.append((int(m.group(1)), p))
+                    snaps = [p for _, p in sorted(snaps)]
                     for old in snaps[:-keep]:
                         try:
                             if os.path.isdir(old):

@@ -38,6 +38,13 @@ import numpy as np
 
 from ursonet_tpu.models.folding import _bn_name_for, fold_bn
 
+# Accuracy-gate thresholds — the single source of truth shared by
+# bench.py, tests/test_quant.py and tools/make_gate_artifact.py
+# (ADVICE r2: the three had drifted to 0.05/0.07/0.08).
+TRAINED_GATE_REL = 0.08     # int8 vs float twin, committed trained artifact
+TRAINED_GATE_DRIFT = 0.005  # int8 vs export-time golden (precision tripwire)
+RANDOM_INIT_GATE_REL = 0.15  # int8 vs float twin, random-init flagship
+
 
 # --------------------------------------------------------------------------
 # Folded parameter flattening: {site_name: (kernel, effective_bias)}
@@ -516,7 +523,9 @@ class QuantizedModel:
         self.flat = flat_params
         stem = 'conv1' if config.BACKBONE in ('resnet50', 'resnet101') \
             else 'conv0'
-        if (getattr(config, 'QUANT_STEM_S2D', True)
+        # Default must match Config.QUANT_STEM_S2D = False (the rewrite
+        # measured -3.6% end-to-end and requires even H,W — ADVICE r2).
+        if (getattr(config, 'QUANT_STEM_S2D', False)
                 and self.flat[stem][0].shape[0] == 7):
             # Serving-time stem optimization: rewrite the 7x7/2 stem
             # kernel EXACTLY into its space-to-depth (4,4,4C,O)/1 form

@@ -134,11 +134,19 @@ class BottleneckBlock(nn.Module):
             return FrozenAwareBN(self.train_bn, dt, name=bname + suffix)(
                 y, training)
 
+        from jax.ad_checkpoint import checkpoint_name
+
         y = _conv(f1, 1, self.strides, 'VALID', self.use_bias,
                   cname + '2a', dt)(x)
         y = nn.relu(bn(y, '2a'))
+        # Tag the NARROW (f1/f2-wide) activations for the 'narrow' remat
+        # policy: saving them is 4x cheaper than the f3-wide expansion
+        # output, and it spares the 3x3 conv (the block's FLOP bulk) from
+        # backward recompute — only the cheap 1x1 expansion re-runs.
+        y = checkpoint_name(y, 'res_narrow1')
         y = _conv(f2, 3, 1, 'SAME', self.use_bias, cname + '2b', dt)(y)
         y = nn.relu(bn(y, '2b'))
+        y = checkpoint_name(y, 'res_narrow2')
         y = _conv(f3, 1, 1, 'VALID', self.use_bias, cname + '2c', dt)(y)
         y = bn(y, '2c')
 
@@ -199,6 +207,35 @@ def _stem_conv(x, features, use_bias, name, dt, s2d: bool):
     return _conv(features, 7, 2, [(3, 3), (3, 3)], use_bias, name, dt)(x)
 
 
+def _remat_wrap(block_cls, remat):
+    """Wrap a residual-block Module in nn.remat under the named policy.
+
+    remat values (config.REMAT):
+      False      — no remat; XLA decides (under HBM pressure it force-
+                   remats whole expansion convs, PERF.md round 2)
+      True/'all' — full block remat (nothing saveable)
+      'narrow'   — save only the checkpoint_name-tagged narrow (f1/f2)
+                   activations; backward re-runs just the cheap 1x1
+                   expansion, never the 3x3 conv
+      'dots'     — jax.checkpoint_policies.checkpoint_dots (saves
+                   dot_general outputs; convs are conv_general_dilated,
+                   so for CNNs this degenerates to full remat — kept in
+                   the sweep to document that fact)
+    """
+    if not remat:
+        return block_cls
+    import jax as _jax
+    policy = None
+    if remat == 'narrow':
+        policy = _jax.checkpoint_policies.save_only_these_names(
+            'res_narrow1', 'res_narrow2')
+    elif remat == 'dots':
+        policy = _jax.checkpoint_policies.checkpoint_dots
+    elif remat not in (True, 'all'):
+        raise ValueError(f'unknown REMAT policy {remat!r}')
+    return nn.remat(block_cls, static_argnums=(2,), policy=policy)
+
+
 class ResNetBackbone(nn.Module):
     """ResNet-50/101 feature extractor; returns C5 (reference
     resnet_graph net.py:161-199 with stage5=True)."""
@@ -206,7 +243,7 @@ class ResNetBackbone(nn.Module):
     train_bn: Any = False
     dtype: Dtype = jnp.float32
     stem_s2d: bool = False
-    remat: bool = False
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -218,11 +255,13 @@ class ResNetBackbone(nn.Module):
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding='SAME')
 
-        # remat: recompute each residual block in the backward pass
-        # instead of keeping its activations — trades ~30% FLOPs for the
-        # HBM that large batches at 512×640 need.
-        Block = nn.remat(BottleneckBlock, static_argnums=(2,)) \
-            if self.remat else BottleneckBlock
+        # remat: recompute residual blocks in the backward pass instead
+        # of keeping their activations — trades FLOPs for the HBM that
+        # large batches at 512×640 need. `remat` selects the checkpoint
+        # POLICY (see _remat_wrap): XLA's auto-remat choice under HBM
+        # pressure is not guaranteed optimal (PERF.md round-2 training
+        # item), so the policy is sweepable (tools/sweep_remat.py).
+        Block = _remat_wrap(BottleneckBlock, self.remat)
 
         def blk(y, filters, stage, block, strides=1, conv_shortcut=False):
             return Block(
@@ -257,7 +296,7 @@ class ResNetShallowBackbone(nn.Module):
     train_bn: Any = False
     dtype: Dtype = jnp.float32
     stem_s2d: bool = False
-    remat: bool = False
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -268,8 +307,7 @@ class ResNetShallowBackbone(nn.Module):
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding='SAME')
 
-        Block = nn.remat(BasicBlock, static_argnums=(2,)) \
-            if self.remat else BasicBlock
+        Block = _remat_wrap(BasicBlock, self.remat)
         reps = [2, 2, 2, 2] if self.architecture == 'resnet18' else [3, 4, 6, 3]
         for stage, rep in enumerate(reps):
             for block in range(rep):
@@ -289,7 +327,7 @@ class ResNetShallowBackbone(nn.Module):
 
 def make_backbone(architecture: str, train_bn, dtype,
                   stem_s2d: bool = False,
-                  remat: bool = False) -> nn.Module:
+                  remat: Any = False) -> nn.Module:
     if architecture in ('resnet50', 'resnet101'):
         return ResNetBackbone(architecture, train_bn, dtype, stem_s2d,
                               remat, name='backbone')

@@ -38,7 +38,7 @@ class UrsoNetModule(nn.Module):
     train_bn: Any = False
     dtype: Any = jnp.float32
     stem_s2d: bool = False
-    remat: bool = False
+    remat: Any = False
 
     @nn.compact
     def __call__(self, images, training: bool = False) -> Dict[str, jnp.ndarray]:
@@ -105,5 +105,5 @@ def build_model(config) -> UrsoNetModule:
         train_bn=config.TRAIN_BN,
         dtype=config.compute_dtype,
         stem_s2d=bool(getattr(config, 'STEM_SPACE_TO_DEPTH', False)),
-        remat=bool(getattr(config, 'REMAT', False)),
+        remat=getattr(config, 'REMAT', False),
     )

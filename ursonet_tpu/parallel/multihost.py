@@ -53,14 +53,15 @@ def is_multiprocess() -> bool:
     return jax.process_count() > 1
 
 
-def local_batch_slice(mesh, batch_size: int) -> Tuple[int, int]:
-    """This process's [lo, hi) row range of a global batch split over the
-    mesh 'data' axis.
+def local_batch_slice(mesh, batch_size: int):
+    """The global batch rows this process must load.
 
-    Requires the local devices to back a CONTIGUOUS range of data rows
-    (true for the standard devices-ordered-by-process mesh construction;
-    asserted here), so a host can load rows lo:hi of each deterministic
-    global batch with no inter-host exchange.
+    Returns an (lo, hi) tuple when the process's devices back a
+    CONTIGUOUS range of data-axis rows — true for the standard
+    devices-ordered-by-process mesh construction — else a sorted int
+    array of the global row indices (a slice topology may interleave
+    processes across the 'data' axis; both forms are understood by
+    data_generator(batch_slice=...) and shard_batch_local).
     """
     axes = list(mesh.axis_names)
     di = axes.index(AXIS_DATA)
@@ -73,20 +74,52 @@ def local_batch_slice(mesh, batch_size: int) -> Tuple[int, int]:
     rows = [r for r in range(n_rows)
             if any(d.process_index == pid
                    for d in np.take(grid, r, axis=di).flatten())]
-    assert rows == list(range(rows[0], rows[0] + len(rows))), \
-        "local devices must back a contiguous data-row range"
-    return rows[0] * per_row, (rows[-1] + 1) * per_row
+    assert rows, "process owns no devices on the data axis"
+    if rows == list(range(rows[0], rows[0] + len(rows))):
+        return rows[0] * per_row, (rows[-1] + 1) * per_row
+    return np.concatenate([np.arange(r * per_row, (r + 1) * per_row)
+                           for r in rows])
 
 
-def shard_batch_local(mesh, local_batch: dict, batch_size: int) -> dict:
+def slice_rows(batch_slice, batch_size: int) -> np.ndarray:
+    """Normalize a batch_slice (None | (lo,hi) | index array) to the
+    sorted array of global batch rows it selects."""
+    if batch_slice is None:
+        return np.arange(batch_size)
+    if isinstance(batch_slice, tuple):
+        return np.arange(batch_slice[0], batch_slice[1])
+    return np.asarray(batch_slice, np.int64)
+
+
+def shard_batch_local(mesh, local_batch: dict, batch_size: int,
+                      batch_slice=None) -> dict:
     """Assemble global batch arrays from this process's local rows
-    (the multi-host replacement for parallel.shard_batch)."""
+    (the multi-host replacement for parallel.shard_batch).
+
+    batch_slice: the same value local_batch_slice() returned — needed
+    to place rows when the process's range is non-contiguous."""
     sh = batch_sharding(mesh)
+    contiguous = batch_slice is None or isinstance(batch_slice, tuple)
+    rows = None if contiguous else slice_rows(batch_slice, batch_size)
     out = {}
     for k, v in local_batch.items():
         v = np.asarray(v)
-        out[k] = jax.make_array_from_process_local_data(
-            sh, v, (batch_size,) + v.shape[1:])
+        gshape = (batch_size,) + v.shape[1:]
+        if contiguous:
+            out[k] = jax.make_array_from_process_local_data(sh, v, gshape)
+        else:
+            # Interleaved topology: hand each addressable device exactly
+            # its shard, looked up by global row index in the local rows.
+            pos = {int(g): i for i, g in enumerate(rows)}
+            per_dev = {}
+            for d, idx in sh.addressable_devices_indices_map(gshape).items():
+                bsl = idx[0]
+                lo = 0 if bsl.start is None else bsl.start
+                hi = gshape[0] if bsl.stop is None else bsl.stop
+                local_idx = np.array([pos[g] for g in range(lo, hi)])
+                per_dev[d] = jax.device_put(v[local_idx], d)
+            out[k] = jax.make_array_from_single_device_arrays(
+                gshape, sh, [per_dev[d] for d in sh.addressable_devices])
     return out
 
 

@@ -27,18 +27,22 @@ def enable_compilation_cache(cache_dir: str | None = None) -> bool:
         return False
     import jax
     cache_dir = (cache_dir or os.environ.get('JAX_COMPILATION_CACHE_DIR'))
-    if cache_dir is None:
-        # Segregate by backend + XLA_FLAGS: XLA's CPU AOT entries record
-        # the flag-dependent target features of the *writing* process;
-        # loading them from a process with different flags (e.g. the
-        # virtual-8-device test env vs a TPU-tunnel session's host CPU
-        # backend) can SIGILL/abort. One subdir per environment makes
-        # cross-environment poisoning impossible.
-        import hashlib
-        tag = (jax.default_backend() + '-' + hashlib.sha1(
-            os.environ.get('XLA_FLAGS', '').encode()).hexdigest()[:8])
-        cache_dir = os.path.join(_DEFAULT_DIR, tag)
     try:
+        if cache_dir is None:
+            # Segregate by backend + XLA_FLAGS: XLA's CPU AOT entries record
+            # the flag-dependent target features of the *writing* process;
+            # loading them from a process with different flags (e.g. the
+            # virtual-8-device test env vs a TPU-tunnel session's host CPU
+            # backend) can SIGILL/abort. One subdir per environment makes
+            # cross-environment poisoning impossible.
+            # jax.default_backend() initializes the backend and RAISES when
+            # the TPU tunnel is unclaimable (BENCH_r02 died here) — it must
+            # stay inside this try so callers degrade to no-cache instead
+            # of crashing before their own error handling.
+            import hashlib
+            tag = (jax.default_backend() + '-' + hashlib.sha1(
+                os.environ.get('XLA_FLAGS', '').encode()).hexdigest()[:8])
+            cache_dir = os.path.join(_DEFAULT_DIR, tag)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
