@@ -193,6 +193,12 @@ def main():
     # ablation knobs for the int8 serving path (default = production)
     config.QUANT_STEM_S2D = os.environ.get('BENCH_S2D', '0') != '0'
     config.QUANT_BF16_STEM = os.environ.get('BENCH_BF16_STEM', '0') != '0'
+    # BENCH_HOST_S2D: serving input shipped pre-s2d by the host (implies
+    # the s2d stem kernel) — the device-transpose-free variant.
+    host_s2d = os.environ.get('BENCH_HOST_S2D', '0') != '0'
+    if host_s2d:
+        config.QUANT_STEM_S2D = True
+        config.QUANT_HOST_S2D = True
     u8_input = os.environ.get('BENCH_U8', '1') != '0'
     config.BACKBONE = backbone
     config.BOTTLENECK_WIDTH = 128
@@ -214,15 +220,25 @@ def main():
     # uint8 pixels (engine.predict_molded ships u8 under INT8_U8_INPUT);
     # the bf16 path takes the molded float batch.
     if quant:
+        # host_s2d: production ships the batch already in s2d layout
+        # (engine._host_s2d_maybe — a free host reindex), so the bench
+        # generates the random pixels directly in that shape.
+        in_shape = (batch, h // 2, w // 2, 12) if host_s2d \
+            else (batch, h, w, 3)
         images = jax.jit(
-            lambda k: jax.random.randint(k, (batch, h, w, 3), 0, 256,
+            lambda k: jax.random.randint(k, in_shape, 0, 256,
                                          jnp.int32).astype(jnp.uint8)
         )(jax.random.PRNGKey(0))
-        init_images = (images[:1].astype(jnp.float32)
-                       - jnp.asarray(config.MEAN_PIXEL, jnp.float32))
+        # model.init always takes the native [1,H,W,3] float layout —
+        # the s2d rewrite happens at PTQ time, not in the Flax model.
+        init_images = jax.jit(
+            lambda k: jax.random.uniform(k, (1, h, w, 3), jnp.float32)
+        )(jax.random.PRNGKey(1))
         if not u8_input:
-            images = (images.astype(jnp.float32)
-                      - jnp.asarray(config.MEAN_PIXEL, jnp.float32))
+            mean = np.asarray(config.MEAN_PIXEL, np.float32)
+            if host_s2d:
+                mean = np.tile(mean, 4)
+            images = images.astype(jnp.float32) - jnp.asarray(mean)
     else:
         images = jax.jit(
             lambda k: jax.random.uniform(k, (batch, h, w, 3), jnp.float32)

@@ -207,6 +207,58 @@ def test_stem_s2d_built_model():
         assert np.isfinite(np.asarray(v)).all(), k
 
 
+def test_host_s2d_matches_device_s2d():
+    """QUANT_HOST_S2D: shipping the u8 batch pre-s2d from the host must
+    produce bit-identical int8 outputs to the device-side s2d path — the
+    reindex commutes with the elementwise input quantize, and the stem
+    conv consumes the identical (4,4,4C,O) kernel either way."""
+    config, model, variables, imgs = _make('resnet18')
+    u8 = np.random.RandomState(0).randint(
+        0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    config.QUANT_STEM_S2D = True
+    qm_dev = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    assert qm_dev._mcfg['stem_s2d'] and not qm_dev._mcfg['host_s2d']
+    qm_dev.calibrate(u8)
+    out_dev = qm_dev(u8)
+
+    config.QUANT_HOST_S2D = True
+    qm_host = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    assert qm_host._mcfg['host_s2d']
+    # the same reindex engine._host_s2d_maybe applies on the serving host
+    b, h, w, c = u8.shape
+    u8_s2d = np.ascontiguousarray(
+        u8.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    ).reshape(b, h // 2, w // 2, 4 * c)
+    qm_host.calibrate(u8_s2d)
+    out_host = qm_host(u8_s2d)
+    for k in out_dev:
+        np.testing.assert_array_equal(np.asarray(out_dev[k]),
+                                      np.asarray(out_host[k]))
+
+
+def test_engine_host_s2d_reindex():
+    """engine._host_s2d_maybe matches resnet.space_to_depth2 exactly and
+    is a no-op when the quant model is not in host-s2d mode."""
+    from ursonet_tpu.engine import UrsoNet
+    from ursonet_tpu.models.resnet import space_to_depth2
+    config, model, variables, imgs = _make('resnet18')
+    config.QUANT_STEM_S2D = True
+    config.QUANT_HOST_S2D = True
+    eng = UrsoNet.__new__(UrsoNet)   # no mesh/state needed
+    eng.config = config
+    eng._qmodel = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    u8 = np.random.RandomState(1).randint(
+        0, 256, (2, 8, 12, 3)).astype(np.uint8)
+    got = eng._host_s2d_maybe(u8)
+    want = np.asarray(space_to_depth2(jnp.asarray(u8)))
+    np.testing.assert_array_equal(got, want)
+    eng._qmodel = None
+    np.testing.assert_array_equal(eng._host_s2d_maybe(u8), u8)
+
+
 def test_u8_input_matches_molded_float():
     """uint8 raw-pixel input (serving transfer mode) must reproduce the
     molded-float path bit-for-bit when the source pixels are integers:

@@ -131,6 +131,14 @@ class Config:
     # measured +1.8% on-device plus 4x less host->device traffic.
     QUANT_STEM_S2D = False
     INT8_U8_INPUT = True
+    # Ship served uint8 batches ALREADY in space-to-depth layout
+    # ([B,H/2,W/2,12], channel order (dy,dx,c)) so the device never pays
+    # the s2d transpose that made QUANT_STEM_S2D a net loss (-3.6%): the
+    # host reindex is free relative to the transfer, and the stem then
+    # runs as the 4x4/1 12-channel conv with zero relayout. Requires
+    # QUANT_STEM_S2D (the kernel must be in s2d form); no effect
+    # otherwise. engine.predict_molded applies the host reindex.
+    QUANT_HOST_S2D = False
     # Run the stem conv (and the molded input) in bf16 inside the int8
     # serving path: skips the input quantize + s8 relayout and XLA's
     # slow 3-channel int8 conv emitter, at 2 bytes/px input traffic.

@@ -462,8 +462,24 @@ class UrsoNet:
             jax.device_get(self.state.batch_stats))
         if calib_images is not None:
             molded, _, _ = self.mold_inputs(calib_images)
-            self._qmodel.calibrate(molded)
+            self._qmodel.calibrate(self._host_s2d_maybe(molded))
         return self._qmodel
+
+    def _host_s2d_maybe(self, molded):
+        """Host-side space-to-depth reindex of a [B,H,W,3] served batch
+        (QUANT_HOST_S2D): same bytes, pure numpy reindex, so the device
+        never pays the s2d transpose that made device-side s2d a net
+        loss. Applies to every input the quant twin sees (serving AND
+        calibration) — the twin's stem then consumes [B,H/2,W/2,12]
+        directly (models/quant.py _stem)."""
+        if not (self._qmodel is not None
+                and self._qmodel._mcfg.get('host_s2d')
+                and np.shape(molded)[-1] == 3):
+            return molded
+        b, h, w, c = np.shape(molded)
+        x = np.asarray(molded).reshape(b, h // 2, 2, w // 2, 2, c)
+        x = np.ascontiguousarray(x.transpose(0, 1, 3, 2, 4, 5))
+        return x.reshape(b, h // 2, w // 2, 4 * c)
 
     def predict_molded(self, molded):
         """Forward a molded [B,H,W,3] batch through the serving path —
@@ -484,6 +500,7 @@ class UrsoNet:
             mean = np.asarray(self.config.MEAN_PIXEL, np.float32)
             molded = np.clip(np.rint(np.asarray(molded, np.float32) + mean),
                              0, 255).astype(np.uint8)
+        molded = self._host_s2d_maybe(molded)
         n = int(np.shape(molded)[0])
         pad = 0
         if self.mesh.size > 1:

@@ -117,8 +117,13 @@ class F32Ops:
         path). float input = already molded."""
         if x.dtype == jnp.uint8:
             assert self.mean_pixel is not None
-            return x.astype(jnp.float32) - jnp.asarray(self.mean_pixel,
-                                                       jnp.float32)
+            mean = jnp.asarray(self.mean_pixel, jnp.float32)
+            if x.shape[-1] == 4 * mean.shape[0]:
+                # host-s2d input ([B,H/2,W/2,4C], channel order (dy,dx,c)
+                # — resnet.space_to_depth2): tile the per-channel mean
+                # across the four spatial phases.
+                mean = jnp.tile(mean, 4)
+            return x.astype(jnp.float32) - mean
         return x
 
     def input(self, x):
@@ -372,11 +377,16 @@ def _stem(ops, x, mcfg, name):
     STEM_SPACE_TO_DEPTH or because QuantizedModel rewrote it at init
     (QUANT_STEM_S2D serving knob)."""
     if mcfg.get('stem_s2d'):
-        from ursonet_tpu.models.resnet import space_to_depth2
-        if isinstance(x, _QT):
-            x = _QT(space_to_depth2(x.arr), x.scale)
-        else:
-            x = space_to_depth2(x)
+        if not mcfg.get('host_s2d'):
+            from ursonet_tpu.models.resnet import space_to_depth2
+            if isinstance(x, _QT):
+                x = _QT(space_to_depth2(x.arr), x.scale)
+            else:
+                x = space_to_depth2(x)
+        # host_s2d: the serving host already shipped the batch in s2d
+        # layout (engine.predict_molded), so no device relayout at all —
+        # the transpose is what made device-side s2d a net loss (PERF.md
+        # ablation: -3.6%).
         return ops.conv(x, name, 1, [(2, 1), (2, 1)])
     return ops.conv(x, name, 2, [(3, 3), (3, 3)])
 
@@ -550,6 +560,10 @@ class QuantizedModel:
             # derived from the kernel actually in `flat`, NOT the config
             # flag — an artifact saved post-rewrite stays self-describing
             stem_s2d=self.flat[stem][0].shape[0] == 4,
+            # served inputs arrive pre-s2d from the host (engine wires
+            # the reindex; only meaningful when the kernel is s2d form)
+            host_s2d=(self.flat[stem][0].shape[0] == 4
+                      and bool(getattr(config, 'QUANT_HOST_S2D', False))),
             # bf16 stem: serving ablation knob (input + stem conv in
             # bf16, everything else int8) — artifact-validated like the
             # other knobs so goldens stay reproducible
