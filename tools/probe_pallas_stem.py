@@ -53,20 +53,29 @@ IN_ROWS = CONV_ROWS + 3  # input rows needed by those conv rows (4-tap)
 
 
 def _stem_kernel(x_hbm, w_ref, ab_ref, out_ref, xs, p, sem, *,
-                 w2, h_conv, nt):
+                 half, h_conv, nt):
     """One (batch, row-band) step: DMA 36 input rows, im2col, one
     matmul, epilogue, pool, write TY pooled rows.
 
-    x_hbm:  [B, H2+4, W2+4, 12] s8 (pre-padded, u8-128-shifted) in HBM
+    Mosaic constraint that shapes everything here: strided slices /
+    gathers only exist for trivial cases, so the kernel NEVER
+    subsamples. The host pre-pass splits the s2d input into even/odd
+    column-parity planes; the kernel computes even-column and odd-column
+    conv outputs as separate row blocks of ONE matmul, and the 3x3/2
+    pool then needs only contiguous slices, static rolls and
+    leading-dim reshapes.
+
+    x_hbm:  [B, H2+4, 2, half+2, 12] s8 (padded, u8-128-shifted,
+            col-parity-split: dim 2 is col%2, dim 3 is col//2)
     w_ref:  [192, 64] s8 (s2d stem kernel, tap-major rows)
     ab_ref: [2, 64] f32 — alpha (scale) / beta (bias) epilogue rows
-    out_ref:[TY, W2//2, 64] s8 block (pooled)
-    xs:     [2, IN_ROWS, W2+4, 12] s8 scratch (double-buffered DMA)
-    p:      [CONV_ROWS*W2, 192] s8 scratch (im2col patches)
+    out_ref:[1, TY, half, 64] s8 block (pooled)
+    xs:     [2, IN_ROWS, 2, half+2, 12] s8 (double-buffered DMA)
+    p:      [2*CONV_ROWS*half, 192] s8 (even-col patches then odd-col)
     """
     g = pl.program_id(0)
     total = pl.num_programs(0)
-    b, t = g // nt, g % nt
+    t = g % nt
 
     def dma(gg, slot):
         bb, tt = gg // nt, gg % nt
@@ -83,52 +92,62 @@ def _stem_kernel(x_hbm, w_ref, ab_ref, out_ref, xs, p, sem, *,
         dma(g + 1, (g + 1) % 2).start()
 
     dma(g, g % 2).wait()
-    x = xs[g % 2]                       # [IN_ROWS, W2+4, 12]
+    x = xs[g % 2]                       # [IN_ROWS, 2, half+2, 12]
 
-    # im2col: tap (ky,kx) fills patch columns [tap*12, tap*12+12).
-    m = CONV_ROWS * w2
-    for ky in range(4):
-        for kx in range(4):
-            tap = ky * 4 + kx
-            blk = x[ky:ky + CONV_ROWS, kx:kx + w2, :]
-            p[:, tap * 12:(tap + 1) * 12] = blk.reshape(m, 12)
+    # im2col. Output col c = 2j+P reads padded cols 2j+P+kx, i.e. plane
+    # (P+kx)%2 at offset j + (P+kx)//2 — contiguous in the parity-split
+    # layout for every tap.
+    k_rows = CONV_ROWS * half
+    for parity in range(2):
+        for ky in range(4):
+            for kx in range(4):
+                tap = ky * 4 + kx
+                plane = (parity + kx) % 2
+                off = (parity + kx) // 2
+                blk = x[ky:ky + CONV_ROWS, plane, off:off + half, :]
+                p[parity * k_rows:(parity + 1) * k_rows,
+                  tap * 12:(tap + 1) * 12] = blk.reshape(k_rows, 12)
 
     acc = jax.lax.dot_general(
         p[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)      # [m, 64]
+        preferred_element_type=jnp.int32)      # [2*k_rows, 64]
 
     alpha = ab_ref[0, :]
     beta = ab_ref[1, :]
     y = acc.astype(jnp.float32) * alpha[None, :] + beta[None, :]
-    y = jnp.maximum(y, 0.0)
-    # requant to the conv1/out activation scale (alpha already folds the
-    # 127/site_scale factor into ab on the host side? No: keep requant
-    # explicit — ab rows are (sw, bias'); rescale here by rq = ab[0] trick
-    # is avoided for clarity; rq rides in alpha/beta pre-divided.)
-    q = jnp.clip(jnp.round(y), 0, 127).astype(jnp.int8)  # [m, 64]
+    # fused ReLU + requant (alpha/beta are pre-scaled by 127/site_scale)
+    q = jnp.clip(jnp.round(jnp.maximum(y, 0.0)), 0, 127) \
+        .astype(jnp.int8)                      # [2*k_rows, 64]
 
-    conv = q.reshape(CONV_ROWS, w2, 64)
-    # phantom conv row (SAME pool pads one row at the bottom): zero it
-    # so it acts as the pool identity (outputs are >= 0).
+    # phantom conv row (SAME pool pads one row at the bottom of the
+    # image): zero it so it cannot contribute (outputs >= 0 so 0 is the
+    # pool identity).
     row_base = 2 * TY * t
-    rows = jax.lax.broadcasted_iota(jnp.int32, (CONV_ROWS, 1, 1), 0)
-    conv = jnp.where(rows + row_base < h_conv, conv, jnp.int8(0))
+    idx2 = jax.lax.broadcasted_iota(jnp.int32, (2 * k_rows, 1), 0)
+    q = jnp.where((idx2 % k_rows) // half + row_base < h_conv, q,
+                  jnp.int8(0))
+    e_q = q[0:k_rows]                  # even-col conv outputs [k_rows, 64]
+    o_q = q[k_rows:2 * k_rows]         # odd-col conv outputs
 
-    # 3x3/2 SAME maxpool in VMEM.
-    half = w2 // 2
-    cw = conv.reshape(CONV_ROWS, half, 2, 64)
-    e = cw[:, :, 0, :]                                   # even cols
-    o = cw[:, :, 1, :]                                   # odd cols
-    e1 = jnp.concatenate(
-        [e[:, 1:, :], jnp.zeros((CONV_ROWS, 1, 64), jnp.int8)], axis=1)
-    colmax = jnp.maximum(jnp.maximum(e, o), e1)          # [CONV_ROWS, half, 64]
-    r0 = colmax[0:CONV_ROWS - 1:2]                       # rows 2i
-    r1 = colmax[1:CONV_ROWS:2]                           # rows 2i+1
-    r2 = colmax[2:CONV_ROWS:2]                           # rows 2i+2
-    out_ref[0] = jnp.maximum(jnp.maximum(r0, r1), r2)
+    # column windows {2j, 2j+1, 2j+2} = {e[j], o[j], e[j+1]}; at the
+    # image's last output col (j == half-1) SAME padding drops e[j+1]
+    # (the roll would wrap into the next row there).
+    idx = jax.lax.broadcasted_iota(jnp.int32, (k_rows, 1), 0)
+    e1 = jnp.roll(e_q, -1, axis=0)
+    cm = jnp.maximum(e_q, o_q)
+    colmax = jnp.where(idx % half == half - 1, cm, jnp.maximum(cm, e1))
+    # row windows {r, r+1, r+2}: rolls by whole rows; always in range
+    # for the even rows kept below (r <= 2*(TY-1), r+2 <= CONV_ROWS-1).
+    r1 = jnp.roll(colmax, -half, axis=0)
+    r2 = jnp.roll(colmax, -2 * half, axis=0)
+    rowmax = jnp.maximum(jnp.maximum(colmax, r1), r2)    # [k_rows, 64]
+    # even conv rows only, via leading-dim reshapes (no strides).
+    y3 = rowmax.reshape(CONV_ROWS, half, 64)
+    r_even = y3[0:CONV_ROWS - 1].reshape(TY, 2, half, 64)
+    out_ref[0] = r_even[:, 0]
 
 
-def fused_stem(x_pad_s8, w8, alpha, beta, *, interpret=False):
+def fused_stem(x_pad_s8, w8, alpha, beta, *, half, interpret=False):
     """x_pad_s8: [B, H2+4, W2+4, 12] s8 (pad rows/cols pre-filled with
     the zero-point fill, interior = u8 - 128). Returns pooled s8
     [B, H2//2, W2//2, 64].
@@ -139,14 +158,16 @@ def fused_stem(x_pad_s8, w8, alpha, beta, *, interpret=False):
     dequant->relu->requant; exact because relu commutes with positive
     scaling).
     """
-    bsz, h2p, w2p, c = x_pad_s8.shape
-    h2, w2 = h2p - 4, w2p - 4
+    bsz, h2p, two, halfp, c = x_pad_s8.shape
+    h2 = h2p - 4
+    assert halfp >= half + 2           # plane width incl. pad cols
     h_conv = h2
     nt = h2 // (2 * TY)
-    assert h2 % (2 * TY) == 0 and w2 % 2 == 0 and c == 12
+    assert h2 % (2 * TY) == 0 and two == 2 and c == 12
     ab = jnp.stack([alpha, beta]).astype(jnp.float32)    # [2, 64]
     grid = (bsz * nt,)
-    kernel = functools.partial(_stem_kernel, w2=w2, h_conv=h_conv, nt=nt)
+    kernel = functools.partial(_stem_kernel, half=half, h_conv=h_conv,
+                               nt=nt)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -158,14 +179,14 @@ def fused_stem(x_pad_s8, w8, alpha, beta, *, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, TY, w2 // 2, 64),
+            (1, TY, half, 64),
             lambda g: (g // nt, g % nt, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, h2 // 2, w2 // 2, 64),
+        out_shape=jax.ShapeDtypeStruct((bsz, h2 // 2, half, 64),
                                        jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((2, IN_ROWS, w2p, 12), jnp.int8),
-            pltpu.VMEM((CONV_ROWS * w2, 192), jnp.int8),
+            pltpu.VMEM((2, IN_ROWS, 2, halfp, 12), jnp.int8),
+            pltpu.VMEM((2 * CONV_ROWS * half, 192), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -175,9 +196,11 @@ def fused_stem(x_pad_s8, w8, alpha, beta, *, interpret=False):
 
 
 def pad_and_shift(x_u8_s2d, mean12):
-    """XLA pre-pass: [B,H2,W2,12] u8 -> [B,H2+4,W2+4,12] s8 with
-    interior u8-128 and borders filled with round(mean)-128 (the value
-    whose molded-domain equivalent is 0, i.e. the conv zero pad)."""
+    """XLA pre-pass: [B,H2,W2,12] u8 -> [B,H2+4,2,(W2+4)/2,12] s8:
+    pad 2 rows/cols each side, shift u8-128, fill borders with
+    round(mean)-128 (the value whose molded-domain equivalent is 0,
+    i.e. the conv zero pad), and split columns into parity planes
+    (dim 2 = col%2, dim 3 = col//2) so the kernel never strides."""
     fill = jnp.round(mean12).astype(jnp.int32) - 128      # [12]
     xi = x_u8_s2d.astype(jnp.int32) - 128
     xi = jnp.pad(xi, ((0, 0), (2, 2), (2, 2), (0, 0)), mode='constant')
@@ -186,6 +209,15 @@ def pad_and_shift(x_u8_s2d, mean12):
     ci = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
     border = (ri < 2) | (ri >= h - 2) | (ci < 2) | (ci >= w - 2)
     xi = jnp.where(border, fill[None, None, None, :], xi)
+    # col-parity split: [B,H,W,C] -> [B,H,2,W/2,C]; pad the plane width
+    # to a multiple of 8 (Mosaic HBM slices need 8-aligned second-minor
+    # extents — the kernel never reads the extra cols).
+    xi = xi.reshape(b, h, w // 2, 2, c).transpose(0, 1, 3, 2, 4)
+    halfp = w // 2
+    pad = (-halfp) % 8
+    if pad:
+        xi = jnp.pad(xi, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)),
+                     mode='constant')
     return xi.astype(jnp.int8)
 
 
@@ -249,7 +281,8 @@ def check():
     alpha, beta = make_epilogue(w8, sw, bias, mean12, site_scale)
     xp = pad_and_shift(jnp.asarray(x), jnp.asarray(mean12))
     got = np.asarray(fused_stem(xp, jnp.asarray(w8), jnp.asarray(alpha),
-                                jnp.asarray(beta), interpret=True))
+                                jnp.asarray(beta), half=w2 // 2,
+                                interpret=True))
     assert got.shape == want.shape, (got.shape, want.shape)
     neq = (got != want).sum()
     print(f'shape {got.shape}, mismatches: {neq}/{got.size}')
@@ -276,7 +309,7 @@ def time_on_chip(batch, h, w, reps):
                                 site_scale)
 
     fused = jax.jit(lambda xx, ww, aa, bb: fused_stem(
-        pad_and_shift(xx, jnp.asarray(mean12)), ww, aa, bb))
+        pad_and_shift(xx, jnp.asarray(mean12)), ww, aa, bb, half=w2 // 2))
     ref = jax.jit(lambda xx, ww: reference_stem(
         xx, ww, sw, bias, mean12, site_scale))
 
