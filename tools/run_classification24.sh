@@ -31,11 +31,14 @@ print('synthetic dataset ready')
 EOF
 fi
 
+# --steps_per_epoch 1000 matches the round-2 recipe: without it the
+# engine clamps epochs to n/batch = 30 steps (reference semantics) and
+# 90 "epochs" would be 2.7k steps, not the 90k the recipe needs.
 python pose_estimator.py train \
   --dataset soyuz_synth --data_dir "$DS" --weights "$WEIGHTS" \
   --backbone resnet18 --classify_ori --ori_resolution 24 \
   --image_scale 0.2 --batch_size 32 --learn_rate 0.008 \
-  --rot_aug --rot_image_aug --epochs "$EPOCHS" \
+  --rot_aug --rot_image_aug --epochs "$EPOCHS" --steps_per_epoch 1000 \
   --logs /tmp/cls24_logs --keep_checkpoints 3
 
 # held-out evaluation, float and int8, on the converged checkpoint
