@@ -107,6 +107,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--int8', action='store_true',
                    help='serve inference through the calibrated int8 PTQ '
                         'path (test/evaluate/submit; ~1.7x on v5e)')
+    p.add_argument('--calib_batches', default=1, type=int,
+                   help='with --int8: number of BATCH_SIZE dataset '
+                        'batches to calibrate activation scales on '
+                        '(running max; more batches = less clipping)')
+    p.add_argument('--calib_headroom', default=1.0, type=float,
+                   help='with --int8: scale factor on calibrated '
+                        'max-abs activation ranges (<1 clips outliers '
+                        'for finer bulk quantization)')
+    p.add_argument('--int8_float_finals', action='store_true',
+                   help='with --int8: run the classification final '
+                        'denses in float (decode-critical logits, '
+                        '~0.04%% of FLOPs; halves the classification '
+                        'int8 accuracy delta)')
     return p
 
 
@@ -145,6 +158,7 @@ def make_config(args):
     config.LOSS_WEIGHTS['loc_loss'] = args.loc_weight
     config.LOSS_WEIGHTS['ori_loss'] = args.ori_weight
     config.SEED = args.seed
+    config.QUANT_FLOAT_CLS_FINAL = getattr(args, 'int8_float_finals', False)
     config.AUGMENT_ON_DEVICE = not args.host_augment
     config.IMAGE_RESIZE_MODE = 'square' if args.square_image else 'pad64'
 
@@ -248,19 +262,35 @@ def load_datasets(args, config, subsets):
 
 def calibrate_int8(engine, args, dataset, config):
     """Eager, deterministic int8 calibration for the CLI inference
-    commands: activation scales come from the first BATCH_SIZE images of
-    the given dataset (a fixed sample), not from whatever batch reaches
-    the serving path first."""
+    commands: activation scales come from the first
+    --calib_batches × BATCH_SIZE images of the given dataset (a fixed
+    sample), not from whatever batch reaches the serving path first.
+    Extra batches can only widen scales (running max across calls,
+    models/quant.py calibrate), tightening worst-case clipping on
+    activations the first batch under-represents."""
     if not args.int8 or args.command in ('train', 'export'):
         return
-    ids = list(dataset.image_ids[:config.BATCH_SIZE])
-    if not ids:
+    n_batches = max(1, getattr(args, 'calib_batches', 1) or 1)
+    all_ids = list(dataset.image_ids)
+    if not all_ids:
         raise SystemExit("--int8: no images available to calibrate on")
-    ids += [ids[-1]] * (config.BATCH_SIZE - len(ids))
-    images = [dataset.load_image(i) for i in ids]
-    engine.quantize(images)
-    print(f"int8: calibrated on {len(set(ids))} fixed images "
-          f"(ids {ids[0]}..{ids[len(set(ids)) - 1]})")
+    used = []
+    for b in range(n_batches):
+        ids = all_ids[b * config.BATCH_SIZE:(b + 1) * config.BATCH_SIZE]
+        if not ids:
+            break
+        ids += [ids[-1]] * (config.BATCH_SIZE - len(ids))
+        images = [dataset.load_image(i) for i in ids]
+        hr = getattr(args, 'calib_headroom', 1.0) or 1.0
+        if b == 0:
+            engine.quantize(images, headroom=hr)
+        else:
+            molded, _, _ = engine.mold_inputs(images)
+            engine._qmodel.calibrate(engine._host_s2d_maybe(molded),
+                                     percentile_headroom=hr)
+        used += ids
+    print(f"int8: calibrated on {len(set(used))} fixed images "
+          f"({n_batches} batch(es), ids {used[0]}..{max(set(used))})")
 
 
 def main(argv=None):

@@ -207,6 +207,55 @@ def test_stem_s2d_built_model():
         assert np.isfinite(np.asarray(v)).all(), k
 
 
+def test_float_cls_finals():
+    """QUANT_FLOAT_CLS_FINAL runs the classification final denses in
+    float: the int8 pass must stay at least as close to the float twin
+    as the all-int8 pass on the decode-critical logits, and the
+    round-trip artifact must reject a mismatched config."""
+    config, model, variables, imgs = _make(
+        'resnet18', regress_loc=False, regress_ori=False)
+    qm_int8 = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    ref = {k: np.asarray(v) for k, v in qm_int8.float_twin(imgs).items()}
+    qm_int8.calibrate(imgs)
+    out_int8 = {k: np.asarray(v) for k, v in qm_int8(imgs).items()}
+
+    config.QUANT_FLOAT_CLS_FINAL = True
+    qm_fc = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    assert qm_fc._mcfg['float_cls_final']
+    qm_fc.calibrate(imgs)
+    out_fc = {k: np.asarray(v) for k, v in qm_fc(imgs).items()}
+    for k in ref:
+        nf = np.linalg.norm(ref[k]) + 1e-9
+        rel_fc = np.linalg.norm(out_fc[k] - ref[k]) / nf
+        rel_i8 = np.linalg.norm(out_int8[k] - ref[k]) / nf
+        # On a random-init net the two error compositions are the same
+        # order (the knob removes only the final-layer quantization
+        # term; on trained checkpoints it recovers decode accuracy —
+        # PERF.md round 3). Sanity-bound, not superiority: random-init
+        # quantization error is not monotone in quantized-layer count.
+        assert rel_fc <= 1.5 * rel_i8 + 1e-3, (k, rel_fc, rel_i8)
+        assert np.isfinite(out_fc[k]).all()
+
+    # artifact round-trip carries the knob and rejects a mismatch
+    from ursonet_tpu.checkpoint.quant_store import load_quantized, \
+        save_quantized
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, 'fc.msgpack')
+        save_quantized(path, qm_fc)
+        qm2 = load_quantized(path, config)
+        out2 = {k: np.asarray(v) for k, v in qm2(imgs).items()}
+        for k in out_fc:
+            rel = (np.linalg.norm(out2[k] - out_fc[k])
+                   / (np.linalg.norm(out_fc[k]) + 1e-9))
+            assert rel < 1e-5, (k, rel)
+        config.QUANT_FLOAT_CLS_FINAL = False
+        with pytest.raises(ValueError):
+            load_quantized(path, config)
+
+
 def test_host_s2d_matches_device_s2d():
     """QUANT_HOST_S2D: shipping the u8 batch pre-s2d from the host must
     produce bit-identical int8 outputs to the device-side s2d path — the

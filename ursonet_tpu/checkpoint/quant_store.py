@@ -115,4 +115,8 @@ _CONFIG_KEYS: Dict[str, str] = {
     'ori_bins': 'ORI_BINS_PER_DIM',
     'mean_pixel': 'MEAN_PIXEL',
     'bf16_stem': 'QUANT_BF16_STEM',
+    # artifacts record whether the classification finals were
+    # calibrated as float sites; loading with a mismatched config
+    # would leave their requant scales missing (or stale)
+    'float_cls_final': 'QUANT_FLOAT_CLS_FINAL',
 }

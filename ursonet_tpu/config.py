@@ -146,6 +146,15 @@ class Config:
     # measured on hardware (flip requires regenerating committed int8
     # goldens, tools/make_gate_artifact.py).
     QUANT_BF16_STEM = False
+    # Run the CLASSIFICATION final denses in float inside the int8
+    # serving path (the regression/quaternion finals already do): the
+    # bins³ logits feed the softmax-moment decode directly and their
+    # dense is ~0.04% of flagship FLOPs. Measured on the trained 24³
+    # checkpoint this is accuracy-NEUTRAL (ESA 0.11613 vs 0.11616) —
+    # i.e. the classification int8 delta comes from backbone activation
+    # quantization, not the wide final logits (PERF.md round 3). Kept
+    # as the ablation that proves it. Off by default.
+    QUANT_FLOAT_CLS_FINAL = False
 
     # Rematerialize residual blocks in the backward pass (jax.checkpoint):
     # trades FLOPs for activation HBM at high resolution. Values:

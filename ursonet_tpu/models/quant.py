@@ -348,17 +348,22 @@ class Int8Ops:
 def float_sites(mcfg) -> set:
     """Sites that run in FLOAT at serving time (the regression /
     quaternion / keypoint finals — see twin_forward's head(); the
-    classification finals are int8 like everything else)."""
+    classification finals are int8 by default, or float under the
+    QUANT_FLOAT_CLS_FINAL ablation knob)."""
     if mcfg['regress_keypoints']:
         return {'loc_head/k1_final', 'loc_head/k2_final',
                 'loc_head/k3_final'}
     sites = set()
     if mcfg['regress_loc']:
         sites.add('loc_head/loc_final')
+    elif mcfg.get('float_cls_final'):
+        sites.add('loc_head/loc_final')
     if mcfg['regress_ori']:
         sites.add('ori_head/ori_q'
                   if mcfg['orientation_param'] == 'quaternion'
                   else 'ori_head/ori_final')
+    elif mcfg.get('float_cls_final'):
+        sites.add('ori_head/ori_final')
     return sites
 
 
@@ -484,9 +489,14 @@ def twin_forward(ops, images, mcfg: dict) -> Dict[str, jnp.ndarray]:
 
     def head(prefix, final_site, final_act):
         # Classification finals (ReLU over bins³ logits — the LARGEST
-        # matmul of those configs, e.g. 1024×64³) quantize like any
-        # other layer; the tiny regression/quaternion finals run float.
-        quant_final = final_act == 'relu'
+        # matmul of those configs, e.g. 1024×64³, yet ~0.04% of flagship
+        # FLOPs) quantize like any other layer by default; under
+        # QUANT_FLOAT_CLS_FINAL they run float like the regression
+        # finals. Measured accuracy-neutral on the trained 24³
+        # checkpoint — the ablation localizing the classification int8
+        # delta to backbone activations (PERF.md round 3).
+        quant_final = (final_act == 'relu'
+                       and not mcfg.get('float_cls_final'))
         h = dense_stack(prefix, quant_final)
         site = f'{prefix}_head/{final_site}'
         h = ops.dense(h, site) if quant_final else ops.dense_final(h, site)
@@ -568,6 +578,9 @@ class QuantizedModel:
             # bf16, everything else int8) — artifact-validated like the
             # other knobs so goldens stay reproducible
             bf16_stem=bool(getattr(config, 'QUANT_BF16_STEM', False)),
+            # float classification finals (decode-critical logits)
+            float_cls_final=bool(getattr(config, 'QUANT_FLOAT_CLS_FINAL',
+                                         False)),
             mean_pixel=tuple(float(v) for v in config.MEAN_PIXEL),
         )
         self.act_scales: Optional[Dict[str, float]] = None
