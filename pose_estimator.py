@@ -120,6 +120,15 @@ def build_parser() -> argparse.ArgumentParser:
                         'denses in float (decode-critical logits, '
                         '~0.04%% of FLOPs; halves the classification '
                         'int8 accuracy delta)')
+    p.add_argument('--set', dest='config_overrides', action='append',
+                   default=[], metavar='KEY=VALUE',
+                   help='generic Config override applied before '
+                        'update(), value parsed as a Python literal '
+                        "(fallback: string) — e.g. --set REMAT=True "
+                        "--set TRAIN_ACT_Q8=True. Mirrors the "
+                        'reference pattern of mutating Config '
+                        'attributes from the CLI '
+                        '(pose_estimator.py:815-872).')
     return p
 
 
@@ -186,6 +195,19 @@ def make_config(args):
         config.STEPS_PER_EPOCH = args.steps_per_epoch
     if args.keep_checkpoints:
         config.CHECKPOINT_KEEP = args.keep_checkpoints
+    for item in getattr(args, 'config_overrides', []) or []:
+        key, sep, raw = item.partition('=')
+        key = key.strip()
+        if not sep or not key:
+            raise SystemExit(f"--set expects KEY=VALUE, got '{item}'")
+        if not hasattr(config, key):
+            raise SystemExit(f"--set: Config has no attribute '{key}'")
+        import ast
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        setattr(config, key, value)
     config.update()
     return config
 

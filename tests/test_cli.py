@@ -293,3 +293,23 @@ def test_cli_multimodal_flag(urso_env, capsys):
     with pytest.raises(SystemExit):  # regression mode has no PMF to fit
         pose_estimator.main(_args(
             urso_env, 'evaluate', '--weights', 'last', '--multimodal'))
+
+
+def test_cli_set_overrides():
+    """--set KEY=VALUE mutates Config attributes before update()
+    (generic override; mirrors reference CLI attribute mutation)."""
+    import pytest
+
+    ns = pose_estimator.build_parser().parse_args(
+        ['train', '--dataset', 'soyuz', '--weights', 'none',
+         '--image_scale', '0.1',
+         '--set', 'TRAIN_ACT_Q8=True', '--set', 'REMAT=narrow'])
+    cfg = pose_estimator.make_config(ns)
+    assert cfg.TRAIN_ACT_Q8 is True
+    assert cfg.REMAT == 'narrow'
+
+    ns = pose_estimator.build_parser().parse_args(
+        ['train', '--dataset', 'soyuz', '--weights', 'none',
+         '--image_scale', '0.1', '--set', 'NO_SUCH_KNOB=1'])
+    with pytest.raises(SystemExit):
+        pose_estimator.make_config(ns)

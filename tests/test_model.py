@@ -269,3 +269,122 @@ def test_remat_policies_bottleneck_backbone():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_actq_conv_matches_nn_conv():
+    """ConvQ8 (int8 saved-activation conv, models/actq.py): forward and
+    input gradient are EXACT vs nn.Conv; only the weight gradient sees
+    8-bit rounding of the saved input (small relative noise). Param
+    trees are interchangeable (checkpoint compatibility)."""
+    import flax.linen as nn
+
+    from ursonet_tpu.models.actq import ConvQ8
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 16, 8), jnp.float32)
+    ref = nn.Conv(12, (3, 3), strides=(2, 2), padding='SAME',
+                  use_bias=True)
+    q8 = ConvQ8(12, (3, 3), (2, 2), 'SAME', True, jnp.float32)
+    v = ref.init(key, x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(q8.init(key, x)))
+
+    np.testing.assert_array_equal(np.asarray(ref.apply(v, x)),
+                                  np.asarray(q8.apply(v, x)))
+
+    gx_ref = jax.grad(lambda t: jnp.sum(ref.apply(v, t) ** 2))(x)
+    gx_q8 = jax.grad(lambda t: jnp.sum(q8.apply(v, t) ** 2))(x)
+    np.testing.assert_array_equal(np.asarray(gx_ref), np.asarray(gx_q8))
+
+    gw_ref = jax.grad(lambda p: jnp.sum(ref.apply(p, x) ** 2))(v)
+    gw_q8 = jax.grad(lambda p: jnp.sum(q8.apply(p, x) ** 2))(v)
+    k_ref = np.asarray(gw_ref['params']['kernel'])
+    k_q8 = np.asarray(gw_q8['params']['kernel'])
+    rel = np.linalg.norm(k_ref - k_q8) / np.linalg.norm(k_ref)
+    assert rel < 0.02, rel
+    # bias grad does not involve the activation: exact
+    np.testing.assert_array_equal(np.asarray(gw_ref['params']['bias']),
+                                  np.asarray(gw_q8['params']['bias']))
+
+
+def test_actq_wgrad8_conv_matches_nn_conv():
+    """The 'wgrad8' mode (explicit int8×int8→int32 weight-gradient
+    conv, no bf16 rematerialization): forward and dx still exact;
+    dw noise bounded despite the extra g-quantization."""
+    import flax.linen as nn
+
+    from ursonet_tpu.models.actq import ConvQ8
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 16, 8), jnp.float32)
+    for strides, pad, k in (((1, 1), 'SAME', 3), ((2, 2), 'SAME', 3),
+                            ((2, 2), ((3, 3), (3, 3)), 7),
+                            ((1, 1), 'VALID', 1)):
+        ref = nn.Conv(12, (k, k), strides=strides, padding=pad,
+                      use_bias=False)
+        q8 = ConvQ8(12, (k, k), strides, pad, False, jnp.float32,
+                    mode='wgrad8')
+        v = ref.init(key, x)
+        np.testing.assert_array_equal(np.asarray(ref.apply(v, x)),
+                                      np.asarray(q8.apply(v, x)))
+        gx_ref = jax.grad(lambda t: jnp.sum(ref.apply(v, t) ** 2))(x)
+        gx_q8 = jax.grad(lambda t: jnp.sum(q8.apply(v, t) ** 2))(x)
+        np.testing.assert_array_equal(np.asarray(gx_ref),
+                                      np.asarray(gx_q8))
+        gw_ref = jax.grad(lambda p: jnp.sum(ref.apply(p, x) ** 2))(v)
+        gw_q8 = jax.grad(lambda p: jnp.sum(q8.apply(p, x) ** 2))(v)
+        a = np.asarray(gw_ref['params']['kernel'])
+        b = np.asarray(gw_q8['params']['kernel'])
+        rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+        assert rel < 0.03, (strides, pad, k, rel)
+
+
+@pytest.mark.parametrize('mode', [True, 'wgrad8'])
+@pytest.mark.parametrize('backbone', ['resnet18', 'resnet50'])
+def test_actq_model_forward_exact_grads_close(backbone, mode):
+    """TRAIN_ACT_Q8 keeps the forward pass and param tree identical to
+    the standard path; full-model gradients agree to ~1% relative."""
+    import flax.linen as nn
+
+    from ursonet_tpu.models.ursonet import build_model as _build
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3),
+                    jnp.float32)
+
+    def run(act_q8):
+        cfg = Config()
+        cfg.BACKBONE = backbone
+        cfg.BOTTLENECK_WIDTH = 8
+        cfg.BRANCH_SIZE = 16
+        cfg.IMAGE_RESIZE_MODE = 'square'
+        cfg.IMAGE_MAX_DIM = cfg.IMAGE_MIN_DIM = 64
+        cfg.TRAIN_ACT_Q8 = act_q8
+        cfg.update()
+        model = _build(cfg)
+        v = nn.unbox(model.init(jax.random.PRNGKey(0), x, training=False))
+
+        def loss_fn(params):
+            out = model.apply({'params': params,
+                               'batch_stats': v['batch_stats']}, x,
+                              training=True)
+            return jnp.sum(out['loc'] ** 2) + jnp.sum(out['ori'] ** 2)
+
+        val, grads = jax.value_and_grad(loss_fn)(v['params'])
+        return v, float(val), grads
+
+    v0, l0, g0 = run(False)
+    v1, l1, g1 = run(mode)
+    assert (jax.tree_util.tree_structure(v0)
+            == jax.tree_util.tree_structure(v1))
+    # forward (hence loss) is exact — only wgrads differ
+    assert l0 == pytest.approx(l1, rel=1e-6)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    worst = 0.0
+    for path, a in flat0:
+        b = flat1[path]
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.linalg.norm(a)
+        if denom > 1e-8:
+            worst = max(worst, float(np.linalg.norm(a - b) / denom))
+    assert worst < 0.05, worst

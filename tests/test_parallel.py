@@ -185,3 +185,31 @@ def test_trainable_mask_presets(rng):
                   or not any((hasattr(k, 'key') and k.key == 'backbone')
                              for k in path))
         assert m == expect, (name, m)
+
+
+def test_dp_tp_actq_matches_single_device(rng):
+    """TRAIN_ACT_Q8 (int8 saved-activation convs) under DP×TP: the
+    per-sample quantization scale is batch-local, so the sharded step
+    must reproduce single-device actq numerics exactly (no collective
+    enters the quantizer)."""
+    batch = _batch(rng, 8)
+
+    cfg1 = TinyConfig()
+    cfg1.IMAGES_PER_GPU = 8
+    cfg1.TRAIN_ACT_Q8 = True
+    cfg1.update()
+    state1, m1 = _run_steps(cfg1, batch)
+
+    cfg8 = TinyConfig()
+    cfg8.IMAGES_PER_GPU = 2
+    cfg8.MESH_DATA, cfg8.MESH_MODEL = 4, 2
+    cfg8.TRAIN_ACT_Q8 = True
+    cfg8.update()
+    state8, m8 = _run_steps(cfg8, batch)
+
+    assert m1['loss'] == pytest.approx(m8['loss'], rel=1e-5)
+    p1 = jax.tree.leaves(state1.params)
+    p8 = jax.tree.leaves(jax.device_get(state8.params))
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

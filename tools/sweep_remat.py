@@ -39,7 +39,7 @@ POLICY_VALUES = {'none': False, 'all': True, 'narrow': 'narrow',
                  'dots': 'dots'}
 
 
-def run_one(policy, batch, reps):
+def run_one(policy, batch, reps, act_q8=False):
     from ursonet_tpu import parallel
     from ursonet_tpu.config import Config
     from ursonet_tpu.models.ursonet import build_model
@@ -60,6 +60,7 @@ def run_one(policy, batch, reps):
     config.IMAGES_PER_GPU = batch
     config.F16 = True
     config.REMAT = POLICY_VALUES[policy]
+    config.TRAIN_ACT_Q8 = act_q8
     config.MESH_DATA = config.MESH_MODEL = 1
     config.update()
 
@@ -94,6 +95,10 @@ def main():
     ap.add_argument('--batches', default='128,64')
     ap.add_argument('--reps', type=int, default=16)
     ap.add_argument('--policies', default='none,all,narrow,dots')
+    ap.add_argument('--actq', default='0',
+                    help='comma list of 0/1/wgrad8: sweep TRAIN_ACT_Q8 '
+                         '(int8 saved-activation convs, models/actq.py) '
+                         'as a second axis')
     args = ap.parse_args()
 
     from ursonet_tpu.utils.cache import enable_compilation_cache
@@ -102,23 +107,24 @@ def main():
     rows = []
     for batch in (int(x) for x in args.batches.split(',')):
         for policy in args.policies.split(','):
-            try:
-                dt = run_one(policy, batch, args.reps)
-                rows.append((policy, batch, dt * 1e3, batch / dt))
-                print(f'policy={policy:<7} batch={batch}: '
-                      f'{dt*1e3:.1f} ms/step, {batch/dt:.1f} imgs/s',
-                      flush=True)
-            except Exception as e:
-                rows.append((policy, batch, float('nan'), 0.0))
-                print(f'policy={policy:<7} batch={batch}: FAILED '
-                      f'{str(e)[:120]}', flush=True)
+            for tok in args.actq.split(','):
+                aq = tok if tok == 'wgrad8' else bool(int(tok))
+                tag = f'policy={policy:<7} actq={tok} batch={batch}'
+                try:
+                    dt = run_one(policy, batch, args.reps, aq)
+                    rows.append((policy, aq, batch, dt * 1e3, batch / dt))
+                    print(f'{tag}: {dt*1e3:.1f} ms/step, '
+                          f'{batch/dt:.1f} imgs/s', flush=True)
+                except Exception as e:
+                    rows.append((policy, aq, batch, float('nan'), 0.0))
+                    print(f'{tag}: FAILED {str(e)[:120]}', flush=True)
 
     print('\n### Remat-policy sweep (flagship train step, 512x640, '
           'quaternion regression, bf16)\n')
-    print('| policy | batch | ms/step | imgs/s |')
-    print('|---|---|---|---|')
-    for p, b, ms, ips in rows:
-        print(f'| {p} | {b} | {ms:.1f} | {ips:.1f} |')
+    print('| policy | actq | batch | ms/step | imgs/s |')
+    print('|---|---|---|---|---|')
+    for p, aq, b, ms, ips in rows:
+        print(f'| {p} | {aq} | {b} | {ms:.1f} | {ips:.1f} |')
 
 
 if __name__ == '__main__':

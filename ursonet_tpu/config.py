@@ -167,6 +167,17 @@ class Config:
     # Gradients are identical across policies (tests/test_model.py).
     REMAT = False
 
+    # int8 saved-activation training (models/actq.py): backbone convs
+    # save an int8 copy of their input for the weight gradient instead of
+    # the bf16 original, halving saved-activation HBM. Forward values and
+    # input gradients are exact; only wgrad sees 8-bit rounding (<1%
+    # relative noise, tests/test_model.py). Values: True (bf16 wgrad
+    # from the dequantized copy — measured to LOSE end-to-end on v5e,
+    # PERF.md), 'wgrad8' (direct int8×int8 weight gradient, no bf16
+    # rematerialization; also quantizes the output gradient). Default
+    # off; orthogonal to REMAT.
+    TRAIN_ACT_Q8 = False
+
     # --- precision ---------------------------------------------------------------
     # Reference --f16 flips Keras to float16 (net.py:589-593). On TPU the
     # native fast dtype is bfloat16: F16 selects bf16 compute with f32

@@ -106,7 +106,16 @@ class FrozenAwareBN(nn.Module):
 
 
 def _conv(features, kernel, strides=1, padding='SAME', use_bias=True,
-          name=None, dtype=jnp.float32):
+          name=None, dtype=jnp.float32, act_q8=False):
+    if act_q8:
+        # int8 saved-activation conv (Config.TRAIN_ACT_Q8): identical
+        # forward and param tree; backward reads an int8 copy of the
+        # input, halving the HBM activation working set (models/actq.py).
+        # act_q8 may be True (bf16 wgrad from the dequantized copy) or
+        # 'wgrad8' (direct int8×int8 weight gradient).
+        from ursonet_tpu.models.actq import ConvQ8
+        return ConvQ8(features, (kernel, kernel), (strides, strides),
+                      padding, use_bias, dtype, act_q8, name=name)
     return nn.Conv(features, (kernel, kernel), strides=(strides, strides),
                    padding=padding, use_bias=use_bias, name=name, dtype=dtype)
 
@@ -122,6 +131,7 @@ class BottleneckBlock(nn.Module):
     use_bias: bool = True
     train_bn: Any = False
     dtype: Dtype = jnp.float32
+    act_q8: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -129,6 +139,7 @@ class BottleneckBlock(nn.Module):
         cname = f"res{self.stage}{self.block}_branch"
         bname = f"bn{self.stage}{self.block}_branch"
         dt = self.dtype
+        aq = self.act_q8
 
         def bn(y, suffix):
             return FrozenAwareBN(self.train_bn, dt, name=bname + suffix)(
@@ -137,22 +148,22 @@ class BottleneckBlock(nn.Module):
         from jax.ad_checkpoint import checkpoint_name
 
         y = _conv(f1, 1, self.strides, 'VALID', self.use_bias,
-                  cname + '2a', dt)(x)
+                  cname + '2a', dt, aq)(x)
         y = nn.relu(bn(y, '2a'))
         # Tag the NARROW (f1/f2-wide) activations for the 'narrow' remat
         # policy: saving them is 4x cheaper than the f3-wide expansion
         # output, and it spares the 3x3 conv (the block's FLOP bulk) from
         # backward recompute — only the cheap 1x1 expansion re-runs.
         y = checkpoint_name(y, 'res_narrow1')
-        y = _conv(f2, 3, 1, 'SAME', self.use_bias, cname + '2b', dt)(y)
+        y = _conv(f2, 3, 1, 'SAME', self.use_bias, cname + '2b', dt, aq)(y)
         y = nn.relu(bn(y, '2b'))
         y = checkpoint_name(y, 'res_narrow2')
-        y = _conv(f3, 1, 1, 'VALID', self.use_bias, cname + '2c', dt)(y)
+        y = _conv(f3, 1, 1, 'VALID', self.use_bias, cname + '2c', dt, aq)(y)
         y = bn(y, '2c')
 
         if self.conv_shortcut:
             sc = _conv(f3, 1, self.strides, 'VALID', self.use_bias,
-                       cname + '1', dt)(x)
+                       cname + '1', dt, aq)(x)
             sc = FrozenAwareBN(self.train_bn, dt, name=bname + '1')(
                 sc, training)
         else:
@@ -174,37 +185,45 @@ class BasicBlock(nn.Module):
     use_bias: bool = False
     train_bn: Any = False
     dtype: Dtype = jnp.float32
+    act_q8: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         base = f"stage{self.stage + 1}_unit{self.block + 1}_"
         dt = self.dtype
+        aq = self.act_q8
 
         if self.cut == 'post':
             sc = _conv(self.filters, 1, self.strides, 'VALID', self.use_bias,
-                       base + 'sc', dt)(x)
+                       base + 'sc', dt, aq)(x)
         else:
             sc = x
 
         pad = [(1, 1), (1, 1)]
         y = _conv(self.filters, 3, self.strides, pad, self.use_bias,
-                  base + 'conv1', dt)(x)
+                  base + 'conv1', dt, aq)(x)
         y = FrozenAwareBN(self.train_bn, dt, name=base + 'bn2')(y, training)
         y = nn.relu(y)
         y = _conv(self.filters, 3, 1, pad, self.use_bias,
-                  base + 'conv2', dt)(y)
+                  base + 'conv2', dt, aq)(y)
         return nn.relu(y + sc)
 
 
-def _stem_conv(x, features, use_bias, name, dt, s2d: bool):
+def _stem_conv(x, features, use_bias, name, dt, s2d: bool,
+               act_q8: bool = False):
     """Stem conv: 7×7/2 with (3,3) pad (reference net.py:170-171), or its
     exact space-to-depth rewrite (4×4/1 on 2×2-packed input)."""
     if s2d:
         y = space_to_depth2(x)
+        if act_q8:
+            from ursonet_tpu.models.actq import ConvQ8
+            return ConvQ8(features, (4, 4), (1, 1), [(2, 1), (2, 1)],
+                          use_bias, dt, act_q8, name=name)(y)
         return nn.Conv(features, (4, 4), strides=(1, 1),
                        padding=[(2, 1), (2, 1)], use_bias=use_bias,
                        name=name, dtype=dt)(y)
-    return _conv(features, 7, 2, [(3, 3), (3, 3)], use_bias, name, dt)(x)
+    return _conv(features, 7, 2, [(3, 3), (3, 3)], use_bias, name, dt,
+                 act_q8)(x)
 
 
 def _remat_wrap(block_cls, remat):
@@ -244,13 +263,14 @@ class ResNetBackbone(nn.Module):
     dtype: Dtype = jnp.float32
     stem_s2d: bool = False
     remat: Any = False
+    act_q8: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         assert self.architecture in ('resnet50', 'resnet101')
         dt = self.dtype
         # Stage 1: explicit (3,3) pad + VALID 7x7/2 (net.py:170-171)
-        y = _stem_conv(x, 64, True, 'conv1', dt, self.stem_s2d)
+        y = _stem_conv(x, 64, True, 'conv1', dt, self.stem_s2d, self.act_q8)
         y = FrozenAwareBN(self.train_bn, dt, name='bn_conv1')(y, training)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding='SAME')
@@ -266,7 +286,7 @@ class ResNetBackbone(nn.Module):
         def blk(y, filters, stage, block, strides=1, conv_shortcut=False):
             return Block(
                 filters, stage, block, strides, conv_shortcut,
-                train_bn=self.train_bn, dtype=dt,
+                train_bn=self.train_bn, dtype=dt, act_q8=self.act_q8,
                 name=f'res{stage}{block}')(y, training)
 
         # Stage 2
@@ -297,12 +317,13 @@ class ResNetShallowBackbone(nn.Module):
     dtype: Dtype = jnp.float32
     stem_s2d: bool = False
     remat: Any = False
+    act_q8: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         assert self.architecture in ('resnet18', 'resnet34')
         dt = self.dtype
-        y = _stem_conv(x, 64, False, 'conv0', dt, self.stem_s2d)
+        y = _stem_conv(x, 64, False, 'conv0', dt, self.stem_s2d, self.act_q8)
         y = FrozenAwareBN(self.train_bn, dt, name='bn_conv0')(y, training)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding='SAME')
@@ -320,18 +341,20 @@ class ResNetShallowBackbone(nn.Module):
                     strides, cut = 1, 'pre'
                 y = Block(
                     filters, stage, block, strides, cut,
-                    train_bn=self.train_bn, dtype=dt,
+                    train_bn=self.train_bn, dtype=dt, act_q8=self.act_q8,
                     name=f'stage{stage + 1}_unit{block + 1}')(y, training)
         return y
 
 
 def make_backbone(architecture: str, train_bn, dtype,
                   stem_s2d: bool = False,
-                  remat: Any = False) -> nn.Module:
+                  remat: Any = False,
+                  act_q8: bool = False) -> nn.Module:
     if architecture in ('resnet50', 'resnet101'):
         return ResNetBackbone(architecture, train_bn, dtype, stem_s2d,
-                              remat, name='backbone')
+                              remat, act_q8, name='backbone')
     if architecture in ('resnet18', 'resnet34'):
         return ResNetShallowBackbone(architecture, train_bn, dtype,
-                                     stem_s2d, remat, name='backbone')
+                                     stem_s2d, remat, act_q8,
+                                     name='backbone')
     raise ValueError(f"unsupported backbone {architecture}")
