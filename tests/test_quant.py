@@ -486,3 +486,40 @@ def test_bf16_stem_close_to_float():
         for k in out:
             np.testing.assert_allclose(out2[k], out[k], rtol=1e-5,
                                        atol=1e-5)
+
+
+def test_int8_sharded_matches_single_device():
+    """shard_over(mesh): the int8 serving graph has no cross-sample
+    ops, so batch-sharding over the 'data' axis reproduces the
+    single-device outputs (int8 body exact; the float final denses see
+    a different matmul tiling per shard shape, so last-bit f32
+    differences ~1e-7 rel are allowed)."""
+    from ursonet_tpu import parallel
+
+    config, model, variables, imgs = _make('resnet18')
+    imgs8 = jnp.concatenate([imgs + 10.0 * i for i in range(4)], axis=0)
+
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    qm.calibrate(imgs8)
+    ref = {k: np.asarray(v) for k, v in qm(imgs8).items()}
+
+    config.MESH_DATA, config.MESH_MODEL = 4, 2
+    config.update()
+    mesh = parallel.make_mesh(config)
+    qm.shard_over(mesh)
+    out = qm(imgs8)
+    for k in ref:
+        np.testing.assert_allclose(ref[k], np.asarray(out[k]),
+                                   rtol=1e-5, atol=1e-5)
+
+    # indivisible batch is refused with a clear error
+    with pytest.raises(ValueError, match='data'):
+        qm(imgs8[:3])
+
+    # revert to unsharded
+    qm.shard_over(None)
+    out2 = qm(imgs8)
+    for k in ref:
+        np.testing.assert_array_equal(ref[k], np.asarray(out2[k]))
+    # unsharded-after-revert is bitwise identical (same program)

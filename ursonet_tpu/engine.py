@@ -463,6 +463,9 @@ class UrsoNet:
         self._qmodel = QuantizedModel.from_variables(
             self.config, jax.device_get(self.state.params),
             jax.device_get(self.state.batch_stats))
+        if self.mesh is not None and self.mesh.size > 1:
+            # data-parallel int8 serving over the engine's mesh
+            self._qmodel.shard_over(self.mesh)
         if calib_images is not None:
             molded, _, _ = self.mold_inputs(calib_images)
             self._qmodel.calibrate(self._host_s2d_maybe(molded),

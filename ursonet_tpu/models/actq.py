@@ -111,7 +111,11 @@ def _quantize_per_sample(x):
     """Symmetric per-sample int8: (q, scale) with x ≈ q·scale."""
     amax = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
     scale = (jnp.maximum(amax, 1e-12) / 127.0).astype(jnp.float32)
-    q = jnp.clip(jnp.round(x / scale.astype(x.dtype)),
+    # Divide in f32 even under bf16 compute: the upcast fuses into the
+    # elementwise quantize chain (no extra HBM traffic) and keeps the
+    # rounding error at the 8-bit level instead of bf16's 8-bit mantissa
+    # compounding it.
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
                  -127, 127).astype(jnp.int8)
     return q, scale
 

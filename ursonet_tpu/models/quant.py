@@ -586,12 +586,31 @@ class QuantizedModel:
         self.act_scales: Optional[Dict[str, float]] = None
         self.acc_dtype = jnp.bfloat16 if getattr(config, 'F16', False) \
             else jnp.float32
+        # Optional data-parallel serving mesh (shard_over)
+        self.mesh = None
         # lazily-built device/jit state (reset by calibrate())
         self._fn: Optional[Callable] = None
         self._calib_fn: Optional[Callable] = None
         self._flat_dev = None
         self._q_dev = None
         self._ffinal_dev = None
+
+    def shard_over(self, mesh):
+        """Serve data-parallel over `mesh`'s 'data' axis: __call__ batch-
+        shards the images (weights + activation scales replicated, XLA
+        runs each shard independently — no collectives in the int8
+        graph; the int8 body is shard-exact, the float final denses see
+        a different matmul tiling per shard shape so outputs match
+        single-device to f32 rounding only —
+        tests/test_quant.py::test_int8_sharded_matches_single_device).
+        Pass a 1-device mesh (or None) to revert. The engine wires this
+        automatically when its mesh has >1 devices."""
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        self._fn = None
+        self._q_dev = None
+        self._ffinal_dev = None
+        self._flat_dev = None
+        return self
 
     @classmethod
     def from_variables(cls, config, params, batch_stats):
@@ -653,11 +672,27 @@ class QuantizedModel:
                               bf16_stem=mcfg.get('bf16_stem', False))
                 return twin_forward(ops, x, mcfg)
 
-            self._fn = jax.jit(fn)
-            self._q_dev = jax.device_put(Int8Ops.prepare(self.flat))
             fsites = float_sites(mcfg)
             flat_dev = self._flat_f32()
-            self._ffinal_dev = {s: flat_dev[s] for s in fsites
-                                if s in flat_dev}
-        return self._fn(self._q_dev, self._ffinal_dev,
-                        jnp.asarray(images))
+            ffinal = {s: flat_dev[s] for s in fsites if s in flat_dev}
+            if self.mesh is not None:
+                from ursonet_tpu import parallel
+                rep = parallel.replicated(self.mesh)
+                xsh = parallel.batch_sharding(self.mesh)
+                self._fn = jax.jit(fn, in_shardings=(rep, rep, xsh))
+                self._q_dev = jax.device_put(Int8Ops.prepare(self.flat),
+                                             rep)
+                self._ffinal_dev = jax.device_put(ffinal, rep)
+            else:
+                self._fn = jax.jit(fn)
+                self._q_dev = jax.device_put(Int8Ops.prepare(self.flat))
+                self._ffinal_dev = ffinal
+        x = jnp.asarray(images)
+        if self.mesh is not None:
+            ndata = self.mesh.shape.get('data', 1)
+            if x.shape[0] % ndata:
+                raise ValueError(
+                    f"batch {x.shape[0]} not divisible by the mesh's "
+                    f"'data' axis ({ndata}); pad the batch (engine."
+                    f"detect does) or serve unsharded")
+        return self._fn(self._q_dev, self._ffinal_dev, x)
