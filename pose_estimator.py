@@ -202,6 +202,10 @@ def make_config(args):
             raise SystemExit(f"--set expects KEY=VALUE, got '{item}'")
         if not hasattr(config, key):
             raise SystemExit(f"--set: Config has no attribute '{key}'")
+        if key != key.upper() or callable(getattr(config, key)):
+            raise SystemExit(
+                f"--set: '{key}' is not a config knob (knobs are "
+                f"UPPER_CASE attributes, not methods)")
         import ast
         try:
             value = ast.literal_eval(raw)

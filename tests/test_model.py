@@ -388,3 +388,32 @@ def test_actq_model_forward_exact_grads_close(backbone, mode):
         if denom > 1e-8:
             worst = max(worst, float(np.linalg.norm(a - b) / denom))
     assert worst < 0.05, worst
+
+
+def test_actq_wgrad8_int32_guard_falls_back():
+    """wgrad8 contractions whose worst case could wrap int32
+    (N·Ho·Wo > ~133k) must take the bf16-dequant fallback — same
+    compression, unconditional correctness."""
+    import flax.linen as nn
+
+    from ursonet_tpu.models.actq import _INT32_SAFE_ACC, ConvQ8
+
+    key = jax.random.PRNGKey(0)
+    # 8 * 144 * 144 = 165,888 > 133,152: the guard must trigger
+    x = jax.random.normal(key, (8, 144, 144, 2), jnp.float32)
+    assert x.shape[0] * x.shape[1] * x.shape[2] > _INT32_SAFE_ACC
+
+    ref = nn.Conv(4, (3, 3), strides=(1, 1), padding='SAME',
+                  use_bias=False)
+    q8 = ConvQ8(4, (3, 3), (1, 1), 'SAME', False, jnp.float32,
+                mode='wgrad8')
+    v = ref.init(key, x)
+    gx_ref = jax.grad(lambda t: jnp.sum(ref.apply(v, t) ** 2))(x)
+    gx_q8 = jax.grad(lambda t: jnp.sum(q8.apply(v, t) ** 2))(x)
+    np.testing.assert_array_equal(np.asarray(gx_ref), np.asarray(gx_q8))
+    gw_ref = jax.grad(lambda p: jnp.sum(ref.apply(p, x) ** 2))(v)
+    gw_q8 = jax.grad(lambda p: jnp.sum(q8.apply(p, x) ** 2))(v)
+    a = np.asarray(gw_ref['params']['kernel'])
+    b = np.asarray(gw_q8['params']['kernel'])
+    # fallback is the dequant wgrad: only x-rounding noise, no g noise
+    assert np.linalg.norm(a - b) / np.linalg.norm(a) < 0.02

@@ -187,23 +187,24 @@ def test_trainable_mask_presets(rng):
         assert m == expect, (name, m)
 
 
-def test_dp_tp_actq_matches_single_device(rng):
-    """TRAIN_ACT_Q8 (int8 saved-activation convs) under DP×TP: the
-    per-sample quantization scale is batch-local, so the sharded step
-    must reproduce single-device actq numerics exactly (no collective
-    enters the quantizer)."""
+@pytest.mark.parametrize('mode', [True, 'wgrad8'])
+def test_dp_tp_actq_matches_single_device(rng, mode):
+    """TRAIN_ACT_Q8 (int8 saved-activation convs) under DP×TP must
+    reproduce single-device actq numerics: the per-sample x-scale is
+    batch-local, and the wgrad8 g-scale is a GSPMD-global max (same
+    value sharded or not)."""
     batch = _batch(rng, 8)
 
     cfg1 = TinyConfig()
     cfg1.IMAGES_PER_GPU = 8
-    cfg1.TRAIN_ACT_Q8 = True
+    cfg1.TRAIN_ACT_Q8 = mode
     cfg1.update()
     state1, m1 = _run_steps(cfg1, batch)
 
     cfg8 = TinyConfig()
     cfg8.IMAGES_PER_GPU = 2
     cfg8.MESH_DATA, cfg8.MESH_MODEL = 4, 2
-    cfg8.TRAIN_ACT_Q8 = True
+    cfg8.TRAIN_ACT_Q8 = mode
     cfg8.update()
     state8, m8 = _run_steps(cfg8, batch)
 

@@ -39,60 +39,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def wgrad_conv(x, g, strides, pad_pairs, preferred=None):
-    """Explicit weight-gradient convolution (see module docstring).
-
-    x: (N,H,W,Ci) conv input (any dtype), g: (N,Ho,Wo,Co) output grad.
-    pad_pairs: the FORWARD conv's resolved ((pl,ph),(pl,ph)) padding.
-    Returns dw (Kh,Kw,Ci,Co) — Kh/Kw inferred from the geometry.
-    """
-    import jax.numpy as jnp
-    from jax import lax
-
-    sh, sw = strides
-    (plh, _), (plw, _) = pad_pairs
-    H, W = x.shape[1], x.shape[2]
-    Ho, Wo = g.shape[1], g.shape[2]
-    # forward: Ho = floor((H + pl + ph - K)/s) + 1 — recover K bounds is
-    # not needed; the caller knows K via the padding it resolved. We
-    # take K from the identity out_size == K when conv'ing with the
-    # dilated g: out = H + pl + ph' - Kd + 1 must equal K, so the high
-    # pad is chosen per-dim from K directly.
-    raise NotImplementedError  # geometry needs K — use make_wgrad below
-
-
 def make_wgrad(kernel_hw, strides, pad_pairs):
-    """Build dw = f(x, g) for a fixed conv geometry."""
-    from jax import lax
-
-    (kh, kw) = kernel_hw
-    sh, sw = strides
-    (plh, _), (plw, _) = pad_pairs
+    """Build dw = f(x, g) for a fixed conv geometry — thin wrapper over
+    the PRODUCTION wgrad conv (ursonet_tpu.models.actq._wgrad_conv), so
+    `check` validates the shipped code, not a copy."""
+    from ursonet_tpu.models.actq import _wgrad_conv
 
     def f(x, g, preferred=None):
-        H, W = x.shape[1], x.shape[2]
-        Ho, Wo = g.shape[1], g.shape[2]
-        kdh = (Ho - 1) * sh + 1
-        kdw = (Wo - 1) * sw + 1
-        pad = ((plh, kdh + kh - 1 - H - plh),
-               (plw, kdw + kw - 1 - W - plw))
-        return lax.conv_general_dilated(
-            x, g, window_strides=(1, 1), padding=pad,
-            rhs_dilation=(sh, sw),
-            dimension_numbers=('CHWN', 'IHWO', 'HWNC'),
-            preferred_element_type=preferred)
+        return _wgrad_conv(x, g, kernel_hw, strides, pad_pairs,
+                           preferred=preferred)
 
     return f
 
 
 def resolve_pad(padding, kernel_hw, strides, hw):
-    """Resolve 'SAME'/'VALID'/pairs to explicit ((pl,ph),(pl,ph)) the
-    way lax does for the forward conv."""
-    from jax import lax
-    if isinstance(padding, str):
-        return tuple(lax.padtype_to_pads(
-            hw, kernel_hw, strides, padding))
-    return tuple(tuple(p) for p in padding)
+    """Production padding resolution (actq._resolve_pad)."""
+    from ursonet_tpu.models.actq import _resolve_pad
+    return _resolve_pad(padding, kernel_hw, strides, hw)
 
 
 def check():

@@ -210,6 +210,10 @@ class Config:
 
     def update(self):
         """Recompute derived fields (reference config.py:151-166)."""
+        if self.TRAIN_ACT_Q8 not in (False, True, 'wgrad8'):
+            raise ValueError(
+                f"TRAIN_ACT_Q8 must be False, True, or 'wgrad8' "
+                f"(got {self.TRAIN_ACT_Q8!r})")
         # Keep mesh and GPU_COUNT consistent: chips = data * model shards.
         # Without an explicit mesh, GPU_COUNT chips all go to the data axis
         # (reference semantics: BATCH_SIZE = IMAGES_PER_GPU * GPU_COUNT,

@@ -463,8 +463,10 @@ class UrsoNet:
         self._qmodel = QuantizedModel.from_variables(
             self.config, jax.device_get(self.state.params),
             jax.device_get(self.state.batch_stats))
-        if self.mesh is not None and self.mesh.size > 1:
-            # data-parallel int8 serving over the engine's mesh
+        if self.mesh is not None and self.mesh.shape.get('data', 1) > 1:
+            # data-parallel int8 serving over the engine's mesh (gate on
+            # the DATA axis: a model-only mesh would just replicate the
+            # whole batch on every device)
             self._qmodel.shard_over(self.mesh)
         if calib_images is not None:
             molded, _, _ = self.mold_inputs(calib_images)

@@ -31,16 +31,23 @@ Design (TPU-first, no reference counterpart — the reference
         g dilated by the forward stride) that reads the saved int8
         tensor DIRECTLY — no bf16 rematerialization — with the output
         gradient quantized to int8 as well (per-sample activation
-        scale folded into g first, then one per-shard scale).
+        scale folded into g first, then one global scale).
         Formulation is exact vs autodiff in float
         (tools/probe_actq_wgrad8.py); only the 8-bit rounding of x
-        and g is approximate.
+        and g is approximate. Contractions whose worst-case
+        |Σ q_x·q_g| could exceed int32 (N·Ho·Wo > 2³¹/127² ≈ 133k
+        output positions — most flagship-resolution convs) fall back
+        to the bf16 wgrad of mode=True so correctness never depends
+        on gradient statistics.
   * Per-sample symmetric scales (max-abs over H,W,C) for x: finer than
     per-tensor, and — because the batch axis is the 'data'-sharded
     axis — the max reduction stays device-local under pjit (a
     per-tensor max would insert a cross-device collective per conv).
-    The wgrad8 g-scale is per-shard; DP numerics therefore differ
-    from single-device at the wgrad-noise level in that mode.
+    The wgrad8 g-scale is a GLOBAL max: the train step runs under
+    GSPMD jit, so DP numerics match single-device exactly, at the
+    cost of one scalar all-reduce-max per conv backward in multi-chip
+    runs (acceptable for a default-off mode; sharded-vs-single parity
+    is covered in tests/test_parallel.py).
 
 Accuracy: 8-bit round-to-nearest on post-ReLU activations gives
 per-element wgrad noise well under 1% relative (unit-tested in
@@ -173,12 +180,29 @@ def _q8w8_fwd(x, w, strides, padding):
     return y, (q, scale, w)
 
 
+# Largest contraction length whose worst case (all |q|=127, same sign)
+# still fits int32: floor((2^31 - 1) / 127^2).
+_INT32_SAFE_ACC = (2 ** 31 - 1) // (127 * 127)
+
+
 def _q8w8_bwd(strides, padding, res, g):
     q, scale, w = res
     dt = w.dtype
     dx = _dx_exact(q.shape, w, strides, padding, g)
+    n_acc = q.shape[0] * g.shape[1] * g.shape[2]
+    if n_acc > _INT32_SAFE_ACC:
+        # int32 accumulator could wrap in the worst case (shapes are
+        # static, so this is a trace-time branch): use the dequantized
+        # bf16 wgrad instead — same saved-activation compression,
+        # unconditional correctness.
+        xf = q.astype(dt) * scale.astype(dt)
+        dw = jax.linear_transpose(
+            lambda t: _conv_nhwc(xf, t, strides, padding),
+            jax.ShapeDtypeStruct(w.shape, dt))(g)[0]
+        return dx, dw
     # Fold the per-sample activation scale into g (so the int8 conv's
-    # result needs only ONE scalar rescale), then per-shard-quantize.
+    # result needs only ONE scalar rescale), then quantize with a
+    # global max (GSPMD-global: DP == single-device numerics).
     G = g.astype(jnp.float32) * scale
     sg = jnp.maximum(jnp.max(jnp.abs(G)), 1e-30) / 127.0
     qg = jnp.clip(jnp.round(G / sg), -127, 127).astype(jnp.int8)
@@ -220,6 +244,10 @@ class ConvQ8(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.mode not in (True, 'wgrad8'):
+            raise ValueError(
+                f"ConvQ8 mode must be True or 'wgrad8' "
+                f"(got {self.mode!r})")
         kh, kw = self.kernel_size
         kernel = self.param(
             'kernel', nn.initializers.lecun_normal(),

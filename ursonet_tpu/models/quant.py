@@ -605,7 +605,8 @@ class QuantizedModel:
         tests/test_quant.py::test_int8_sharded_matches_single_device).
         Pass a 1-device mesh (or None) to revert. The engine wires this
         automatically when its mesh has >1 devices."""
-        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        self.mesh = mesh if (mesh is not None
+                             and mesh.shape.get('data', 1) > 1) else None
         self._fn = None
         self._q_dev = None
         self._ffinal_dev = None
