@@ -115,6 +115,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help='with --int8: scale factor on calibrated '
                         'max-abs activation ranges (<1 clips outliers '
                         'for finer bulk quantization)')
+    p.add_argument('--smooth_quant', nargs='?', const=0.5, default=None,
+                   type=float, metavar='ALPHA',
+                   help='with --int8: SmoothQuant-style per-channel '
+                        'scale migration after calibration (zero '
+                        'serving cost; models/quant.py smooth). '
+                        'Optional ALPHA in [0,1] balances activation- '
+                        'vs weight-range flattening (default 0.5)')
+    p.add_argument('--bias_correct', nargs='?', const=1, default=0,
+                   type=int, metavar='PASSES',
+                   help='with --int8: subtract per-channel quantization '
+                        'bias measured on the calibration batch from '
+                        'the int8 path (DFQ-style; models/quant.py '
+                        'bias_correct). PASSES>1 re-measures with the '
+                        'previous correction applied (default 1)')
     p.add_argument('--int8_float_finals', action='store_true',
                    help='with --int8: run the classification final '
                         'denses in float (decode-critical logits, '
@@ -317,6 +331,21 @@ def calibrate_int8(engine, args, dataset, config):
         used += ids
     print(f"int8: calibrated on {len(set(used))} fixed images "
           f"({n_batches} batch(es), ids {used[0]}..{max(set(used))})")
+    alpha = getattr(args, 'smooth_quant', None)
+    if alpha is not None:
+        report = engine._qmodel.smooth(alpha)
+        worst = max(report.values()) if report else 1.0
+        print(f"int8: SmoothQuant migration applied (alpha={alpha}, "
+              f"{len(report)} groups, worst channel spread {worst:.1f}x)")
+    passes = getattr(args, 'bias_correct', 0) or 0
+    if passes:
+        ids = all_ids[:config.BATCH_SIZE]
+        ids += [ids[-1]] * (config.BATCH_SIZE - len(ids))
+        molded, _, _ = engine.mold_inputs(
+            [dataset.load_image(i) for i in ids])
+        engine._qmodel.bias_correct(engine._host_s2d_maybe(molded),
+                                    passes=passes)
+        print(f"int8: bias correction applied ({passes} pass(es))")
 
 
 def main(argv=None):

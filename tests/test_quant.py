@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # see pytest.ini: core profile is -m "not slow"
 import flax.linen as nn
 
 from ursonet_tpu.config import Config
@@ -523,3 +525,161 @@ def test_int8_sharded_matches_single_device():
     for k in ref:
         np.testing.assert_array_equal(ref[k], np.asarray(out2[k]))
     # unsharded-after-revert is bitwise identical (same program)
+
+
+# ---------------------------------------------------------------------------
+# PTQ accuracy techniques (round 4): SmoothQuant-style scale migration +
+# calibration-set bias correction (models/quant.py smooth / bias_correct)
+# ---------------------------------------------------------------------------
+
+def _rel(a, b):
+    return float(np.linalg.norm(np.asarray(a) - np.asarray(b))
+                 / (np.linalg.norm(np.asarray(b)) + 1e-9))
+
+
+@pytest.mark.parametrize('backbone', ['resnet18', 'resnet50'])
+def test_migration_groups_name_real_sites(backbone):
+    """Every producer/consumer in migration_groups must be a real weight
+    site, and every act must be a real calibration site — a renamed layer
+    would silently turn smooth() into a no-op otherwise."""
+    from ursonet_tpu.models.quant import migration_groups
+
+    config, model, variables, imgs = _make(backbone)
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    qm.calibrate(imgs)
+    groups = migration_groups(qm._mcfg)
+    assert groups, 'no migration groups for ' + backbone
+    for g in groups:
+        for p in g['producers']:
+            assert p in qm.flat, f'producer {p} not a weight site'
+        for c, kind in g['consumers']:
+            assert c in qm.flat, f'consumer {c} not a weight site'
+            assert kind in ('conv', 'dense', 'dense_flat')
+        for a in g['acts']:
+            assert a in qm.act_scales, f'act {a} not a calibration site'
+            assert a in qm.chan_max
+    # the big known channel spaces are covered
+    stem = 'conv1' if backbone in ('resnet50', 'resnet101') else 'conv0'
+    producers = {p for g in groups for p in g['producers']}
+    assert stem in producers
+    assert 'bottleneck_layer' in producers
+
+
+@pytest.mark.parametrize('mode', ['regression', 'classification'])
+def test_smooth_preserves_float_twin(mode):
+    """Scale migration is algebraically exact: the float twin before and
+    after smooth() must agree to float rounding."""
+    kw = {} if mode == 'regression' \
+        else dict(regress_loc=False, regress_ori=False)
+    config, model, variables, imgs = _make('resnet18', **kw)
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    ref = {k: np.asarray(v) for k, v in qm.float_twin(imgs).items()}
+    qm.calibrate(imgs)
+    report = qm.smooth(0.5)
+    assert report, 'smooth() applied no groups'
+    out = {k: np.asarray(v) for k, v in qm.float_twin(imgs).items()}
+    for k in ref:
+        np.testing.assert_allclose(out[k], ref[k], rtol=5e-4, atol=5e-4)
+    # int8 path still serves within the random-init gate after migration
+    q = {k: np.asarray(v) for k, v in qm(imgs).items()}
+    for k in ref:
+        assert _rel(q[k], out[k]) < 0.15
+
+
+def test_smooth_fixes_channel_outliers():
+    """The scenario smooth() exists for: one hot activation channel wrecks
+    the per-tensor int8 scale; migrating the outlier into per-channel
+    weights must recover most of the loss."""
+    config, model, variables, imgs = _make('resnet50')
+    # blow up a few stem output channels -> conv1/out gets 40x channel
+    # spread, poisoning every downstream per-tensor activation scale
+    params = jax.tree_util.tree_map(
+        lambda v: np.array(v, copy=True), variables['params'])
+    k = params['backbone']['conv1']['kernel']
+    k[..., :4] = k[..., :4] * 40.0
+
+    base = QuantizedModel.from_variables(
+        config, params, variables['batch_stats'])
+    ref = {k2: np.asarray(v) for k2, v in base.float_twin(imgs).items()}
+    base.calibrate(imgs)
+    err_base = max(_rel(v, ref[k2]) for k2, v in base(imgs).items())
+
+    sm = QuantizedModel.from_variables(
+        config, params, variables['batch_stats'])
+    sm.calibrate(imgs)
+    report = sm.smooth(0.5)
+    assert max(report.values()) > 4.0  # the outlier group was found
+    err_sm = max(_rel(v, ref[k2]) for k2, v in sm(imgs).items())
+    assert err_sm < err_base * 0.7, \
+        f'smooth did not help: {err_sm:.4f} vs {err_base:.4f}'
+
+
+def test_bias_correct_converges_and_only_touches_int8():
+    config, model, variables, imgs = _make('resnet18')
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    ftwin = {k: np.asarray(v) for k, v in qm.float_twin(imgs).items()}
+    qm.calibrate(imgs)
+    qm.bias_correct(imgs, passes=1)
+    assert qm.bias_delta, 'no corrections recorded'
+    d1 = {k: v.copy() for k, v in qm.bias_delta.items()}
+    # a second measurement pass sees the corrected int8 path. The
+    # sequential sweep zeroes each site's mean error given its upstream
+    # state, so shallow sites (whose downstream re-rounding can't reach
+    # them) must be converged to ~0; deep sites keep a second-order
+    # requant-rounding residue (large here: random init + 2 calib
+    # images), which must at least not diverge in aggregate.
+    qm.bias_correct(imgs, passes=1)
+    inc = {k: float(np.abs(qm.bias_delta[k] - d1[k]).max()) for k in d1}
+    first = {k: float(np.abs(d1[k]).max()) for k in d1}
+    shallow = [k for k in d1
+               if k.startswith(('conv0', 'conv1', 'stage1_', 'res2'))
+               and first[k] > 1e-3]
+    assert shallow, 'first pass measured nothing at shallow sites'
+    for k in shallow:
+        assert inc[k] < 0.05 * first[k], \
+            f'{k} did not converge: inc={inc[k]} first={first[k]}'
+    tot_first = np.sqrt(sum(float(np.sum(v ** 2)) for v in d1.values()))
+    tot_inc = np.sqrt(sum(
+        float(np.sum((qm.bias_delta[k] - d1[k]) ** 2)) for k in d1))
+    assert tot_inc < 0.8 * tot_first, \
+        f'bias correction diverging: {tot_inc} vs {tot_first}'
+    # float twin is untouched by construction
+    out = {k: np.asarray(v) for k, v in qm.float_twin(imgs).items()}
+    for k in ftwin:
+        np.testing.assert_array_equal(out[k], ftwin[k])
+    # int8 still within the random-init gate with corrections applied
+    q = {k: np.asarray(v) for k, v in qm(imgs).items()}
+    for k in ftwin:
+        assert _rel(q[k], out[k]) < 0.15
+
+
+def test_smooth_and_bias_correct_require_calibration():
+    config, model, variables, imgs = _make('resnet18')
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    with pytest.raises(RuntimeError):
+        qm.smooth()
+    with pytest.raises(RuntimeError):
+        qm.bias_correct(imgs)
+
+
+def test_quant_store_roundtrip_with_bias_delta(tmp_path):
+    from ursonet_tpu.checkpoint.quant_store import load_quantized, \
+        save_quantized
+
+    config, model, variables, imgs = _make('resnet18')
+    qm = QuantizedModel.from_variables(
+        config, variables['params'], variables['batch_stats'])
+    qm.calibrate(imgs)
+    qm.smooth(0.5)
+    qm.bias_correct(imgs)
+    path = str(tmp_path / 'q.msgpack')
+    save_quantized(path, qm)
+    qm2 = load_quantized(path, config)
+    out = {k: np.asarray(v) for k, v in qm(imgs).items()}
+    out2 = {k: np.asarray(v) for k, v in qm2(imgs).items()}
+    for k in out:
+        np.testing.assert_allclose(out2[k], out[k], rtol=1e-5, atol=1e-5)

@@ -49,6 +49,12 @@ def save_quantized(path: str, qmodel) -> None:
                        for k, v in qmodel.act_scales.items()},
         'flat': flat_out,
     }
+    if getattr(qmodel, 'bias_delta', None):
+        # bias_correct() corrections — int8-path-only additive bias
+        # terms; kept OUT of 'flat' so the float twin stays the
+        # uncorrected reference at load time (models/quant.py)
+        tree['bias_delta'] = {k: np.asarray(v, np.float32)
+                              for k, v in qmodel.bias_delta.items()}
     _atomic_write(path, serialization.msgpack_serialize(tree))
 
 
@@ -101,6 +107,9 @@ def load_quantized(path: str, config):
         flat[site] = (w, b)
     qm = QuantizedModel(config, flat)
     qm.act_scales = {k: float(v) for k, v in tree['act_scales'].items()}
+    if 'bias_delta' in tree:
+        qm.bias_delta = {k: np.asarray(v, np.float32)
+                         for k, v in tree['bias_delta'].items()}
     return qm
 
 

@@ -109,6 +109,15 @@ class F32Ops:
         self.flat = flat
         self.dt = compute_dtype
         self.mean_pixel = mean_pixel
+        # when set to a dict, conv/dense record their per-channel output
+        # mean (post-bias, pre-activation) — QuantizedModel.bias_correct
+        self.capture: Optional[Dict[str, jnp.ndarray]] = None
+
+    def _capture_maybe(self, site, y):
+        if self.capture is not None:
+            self.capture[site] = jnp.mean(
+                y.astype(jnp.float32), axis=tuple(range(y.ndim - 1)))
+        return y
 
     def _mold_maybe(self, x):
         """uint8 input = raw network-resolution pixels: fold the mold's
@@ -134,11 +143,12 @@ class F32Ops:
         y = jax.lax.conv_general_dilated(
             x, jnp.asarray(w, self.dt), (stride, stride), padding,
             dimension_numbers=_conv_dn(x.shape, w.shape))
-        return y + jnp.asarray(b, self.dt)
+        return self._capture_maybe(site, y + jnp.asarray(b, self.dt))
 
     def dense(self, x, site):
         w, b = self.flat[site]
-        return x @ jnp.asarray(w, self.dt) + jnp.asarray(b, self.dt)
+        return self._capture_maybe(
+            site, x @ jnp.asarray(w, self.dt) + jnp.asarray(b, self.dt))
 
     def dense_final(self, x, site):
         return self.dense(x, site)
@@ -166,18 +176,26 @@ class F32Ops:
 
 
 class CalibOps(F32Ops):
-    """F32 twin that also records max|x| at every quantize site."""
+    """F32 twin that also records max|x| at every quantize site, plus the
+    per-channel max (over batch and space) used by SmoothQuant-style scale
+    migration (QuantizedModel.smooth)."""
 
     def __init__(self, flat, compute_dtype=jnp.float32, mean_pixel=None):
         super().__init__(flat, compute_dtype, mean_pixel)
         self.maxabs: Dict[str, jnp.ndarray] = {}
+        self.chan_max: Dict[str, jnp.ndarray] = {}
 
-    def _observe(self, name, x):
-        self.maxabs[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
+    def _observe(self, name, x, per_channel=True):
+        a = jnp.abs(x.astype(jnp.float32))
+        self.maxabs[name] = jnp.max(a)
+        if per_channel:
+            self.chan_max[name] = jnp.max(
+                a, axis=tuple(range(a.ndim - 1)))
         return x
 
     def input(self, x):
-        return self._observe('input', super().input(x))
+        # raw pixels have no producer to migrate into — per-tensor only
+        return self._observe('input', super().input(x), per_channel=False)
 
     def relu(self, x, site=None):
         y = super().relu(x)
@@ -189,7 +207,11 @@ class CalibOps(F32Ops):
         return self._observe(site, x)
 
     def flatten(self, x, site):
-        return self._observe(site, super().flatten(x, site))
+        # channel stats must be per conv-output-channel (the LAST axis of
+        # the pre-flatten [B,H,W,C]) — post-flatten the channel repeats
+        # every C features (NHWC row-major)
+        self._observe(site, x)
+        return x.reshape(x.shape[0], -1)
 
 
 def quantize_weight(w):
@@ -239,6 +261,10 @@ class Int8Ops:
                        for k, v in act_scales.items()}
         self.flat = flat
         self.q = q
+        # see F32Ops.capture (QuantizedModel.bias_correct)
+        self.capture: Optional[Dict[str, jnp.ndarray]] = None
+
+    _capture_maybe = F32Ops._capture_maybe
 
     @staticmethod
     def prepare(flat):
@@ -278,20 +304,23 @@ class Int8Ops:
                 x, w8.astype(jnp.bfloat16), (stride, stride), padding,
                 dimension_numbers=_conv_dn(x.shape, w8.shape),
                 preferred_element_type=jnp.float32)
-            return acc * sw.astype(jnp.float32) + b.astype(self.dt)
+            return self._capture_maybe(
+                site, acc * sw.astype(jnp.float32) + b.astype(self.dt))
         acc = jax.lax.conv_general_dilated(
             x.arr, w8, (stride, stride), padding,
             dimension_numbers=_conv_dn(x.arr.shape, w8.shape),
             preferred_element_type=jnp.int32)
         scale = (sw * x.scale).astype(self.dt)
-        return acc.astype(self.dt) * scale + b.astype(self.dt)
+        return self._capture_maybe(
+            site, acc.astype(self.dt) * scale + b.astype(self.dt))
 
     def dense(self, x, site):
         w8, sw, b = self.q[site]
         acc = jax.lax.dot_general(x.arr, w8, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         scale = (sw * x.scale).astype(self.dt)
-        return acc.astype(self.dt) * scale + b.astype(self.dt)
+        return self._capture_maybe(
+            site, acc.astype(self.dt) * scale + b.astype(self.dt))
 
     def dense_final(self, x, site):
         """Float final dense (accuracy-critical, compute-trivial)."""
@@ -365,6 +394,112 @@ def float_sites(mcfg) -> set:
     elif mcfg.get('float_cls_final'):
         sites.add('ori_head/ori_final')
     return sites
+
+
+def migration_groups(mcfg) -> list:
+    """Channel-space groups for SmoothQuant-style scale migration.
+
+    Each group names activation site(s) sharing one channel space, the
+    conv/dense sites PRODUCING into that space (their output channels can
+    be scaled by 1/m), and the sites CONSUMING it (their input channels
+    absorb the m). Groups cover:
+      * the stem output (consumed by the first block's convs),
+      * every bottleneck/basic block's inner chain(s) (2a→2b, 2b→2c /
+        conv1→conv2) — where the 3×3 convs live,
+      * every stage's residual stream: ALL producers into the stream
+        (block-a projection shortcut + every block's expansion conv)
+        scale together, ALL consumers (next blocks' 2a convs, the next
+        stage's entry convs, finally the bottleneck conv) compensate —
+        valid because relu/maxpool/residual-add commute with a positive
+        per-channel rescale applied consistently to every stream operand,
+      * the flattened bottleneck output (consumed by the head denses,
+        channel index repeating every C features — kind 'dense_flat'),
+      * hidden head-dense chains whose next layer is also quantized.
+
+    Consumer kinds: 'conv' (HWIO kernel, input axis -2), 'dense'
+    (input axis 0), 'dense_flat' (dense over flattened NHWC features).
+    """
+    groups = []
+
+    def grp(acts, producers, consumers):
+        groups.append(dict(acts=list(acts), producers=list(producers),
+                           consumers=list(consumers)))
+
+    arch = mcfg['backbone']
+    if arch in ('resnet50', 'resnet101'):
+        n4 = {'resnet50': 5, 'resnet101': 22}[arch]
+        stages = [(2, ['a', 'b', 'c']),
+                  (3, ['a', 'b', 'c', 'd']),
+                  (4, ['a'] + [chr(98 + i) for i in range(n4)]),
+                  (5, ['a', 'b', 'c'])]
+        grp(['conv1/out'], ['conv1'],
+            [('res2a_branch2a', 'conv'), ('res2a_branch1', 'conv')])
+        for si, (s, blocks) in enumerate(stages):
+            stream_acts, stream_prod, stream_cons = [], [], []
+            for b in blocks:
+                c = f'res{s}{b}_branch'
+                grp([c + '2a/out'], [c + '2a'], [(c + '2b', 'conv')])
+                grp([c + '2b/out'], [c + '2b'], [(c + '2c', 'conv')])
+                stream_prod.append(c + '2c')
+                stream_acts.append(c + '/out')
+                if b != 'a':
+                    stream_cons.append((c + '2a', 'conv'))
+            stream_prod.append(f'res{s}a_branch1')
+            stream_acts.append(f'res{s}a_branch1/out')
+            if si + 1 < len(stages):
+                nxt = stages[si + 1][0]
+                stream_cons += [(f'res{nxt}a_branch2a', 'conv'),
+                                (f'res{nxt}a_branch1', 'conv')]
+            else:
+                stream_cons.append(('bottleneck_layer', 'conv'))
+            grp(stream_acts, stream_prod, stream_cons)
+    else:
+        reps = [2, 2, 2, 2] if arch == 'resnet18' else [3, 4, 6, 3]
+        grp(['conv0/out'], ['conv0'],
+            [('stage1_unit1_conv1', 'conv'), ('stage1_unit1_sc', 'conv')])
+        for stage, rep in enumerate(reps):
+            stream_acts, stream_prod, stream_cons = [], [], []
+            for blk in range(rep):
+                base = f'stage{stage + 1}_unit{blk + 1}_'
+                grp([base + 'conv1/out'], [base + 'conv1'],
+                    [(base + 'conv2', 'conv')])
+                stream_prod.append(base + 'conv2')
+                stream_acts.append(base + '/out')
+                if blk > 0:
+                    stream_cons.append((base + 'conv1', 'conv'))
+            first = f'stage{stage + 1}_unit1_'
+            stream_prod.append(first + 'sc')
+            stream_acts.append(first + 'sc/out')
+            if stage + 1 < len(reps):
+                nxt = f'stage{stage + 2}_unit1_'
+                stream_cons += [(nxt + 'conv1', 'conv'), (nxt + 'sc', 'conv')]
+            else:
+                stream_cons.append(('bottleneck_layer', 'conv'))
+            grp(stream_acts, stream_prod, stream_cons)
+
+    # bottleneck flatten → first head denses
+    head_prefixes = ['loc'] if mcfg['regress_keypoints'] else ['loc', 'ori']
+    grp(['bottleneck/out'], ['bottleneck_layer'],
+        [(f'{p}_head/{p}_dense_0', 'dense_flat') for p in head_prefixes])
+
+    # hidden dense chains (act site exists only when the next layer is
+    # quantized — twin_forward's keep_q; smooth() skips absent sites)
+    fsites = float_sites(mcfg)
+    n = mcfg['nr_dense_layers']
+    for p in head_prefixes:
+        finals = {'loc': ('loc_head/k1_final' if mcfg['regress_keypoints']
+                          else 'loc_head/loc_final'),
+                  'ori': ('ori_head/ori_q'
+                          if mcfg['regress_ori']
+                          and mcfg['orientation_param'] == 'quaternion'
+                          else 'ori_head/ori_final')}[p]
+        for i in range(n):
+            site = f'{p}_head/{p}_dense_{i}'
+            nxt = f'{p}_head/{p}_dense_{i + 1}' if i < n - 1 else finals
+            if i == n - 1 and nxt in fsites:
+                continue  # float final: last hidden relu isn't quantized
+            grp([site + '/out'], [site], [(nxt, 'dense')])
+    return groups
 
 
 # --------------------------------------------------------------------------
@@ -584,6 +719,11 @@ class QuantizedModel:
             mean_pixel=tuple(float(v) for v in config.MEAN_PIXEL),
         )
         self.act_scales: Optional[Dict[str, float]] = None
+        # per-channel |act| maxima from calibration (smooth() input)
+        self.chan_max: Optional[Dict[str, np.ndarray]] = None
+        # additive int8-path bias corrections (bias_correct); applied on
+        # top of the float biases at prepare time, NEVER to the float twin
+        self.bias_delta: Dict[str, np.ndarray] = {}
         self.acc_dtype = jnp.bfloat16 if getattr(config, 'F16', False) \
             else jnp.float32
         # Optional data-parallel serving mesh (shard_over)
@@ -646,19 +786,189 @@ class QuantizedModel:
             def run(flat, imgs):
                 ops = CalibOps(flat, mean_pixel=mcfg['mean_pixel'])
                 twin_forward(ops, imgs, mcfg)
-                return ops.maxabs
+                return ops.maxabs, ops.chan_max
             self._calib_fn = jax.jit(run)
 
-        maxabs = self._calib_fn(self._flat_f32(), jnp.asarray(images))
+        maxabs, chan_max = self._calib_fn(self._flat_f32(),
+                                          jnp.asarray(images))
         maxabs = {k: float(v) * percentile_headroom
                   for k, v in maxabs.items()}
+        chan_max = {k: np.asarray(v) * percentile_headroom
+                    for k, v in chan_max.items()}
         if self.act_scales is None:
             self.act_scales = maxabs
+            self.chan_max = chan_max
         else:
             self.act_scales = {k: max(self.act_scales[k], v)
                                for k, v in maxabs.items()}
+            self.chan_max = {k: np.maximum(self.chan_max[k], v)
+                             for k, v in chan_max.items()}
         self._fn = None
         return self.act_scales
+
+    def smooth(self, alpha: float = 0.5):
+        """SmoothQuant-style scale migration (zero serving cost).
+
+        Per-channel activation outliers are what per-tensor int8
+        activation scales can't represent (the flagship classification
+        int8 delta localizes to backbone activations — PERF.md round 3).
+        For every migratable producer→consumer channel space
+        (migration_groups), rescale channel c by
+        m_c = a_c^alpha / w_c^(1-alpha)  (SmoothQuant, arXiv:2211.10438):
+        the producer's kernel/bias output channels divide by m, every
+        consumer's kernel input channels multiply by m — algebraically
+        exact in float (the float twin is unchanged up to rounding), but
+        the quantized activation tensor now has a flattened per-channel
+        range while the migrated spread hides inside per-OUTPUT-channel
+        quantized weights, which tolerate it far better.
+
+        Requires calibrate() first (uses the recorded per-channel act
+        maxima); updates the per-tensor act scales analytically (no
+        recalibration pass needed). Returns {group: channel-spread} of
+        the applied migration vectors for logging."""
+        if self.chan_max is None:
+            raise RuntimeError('calibrate() before smooth()')
+        flat = {s: (np.array(w, np.float32, copy=True),
+                    np.array(b, np.float32, copy=True))
+                for s, (w, b) in self.flat.items()}
+        report = {}
+        for g in migration_groups(self._mcfg):
+            if not all(a in self.chan_max for a in g['acts']):
+                continue
+            if not all(p in flat for p in g['producers']):
+                continue
+            if not all(c in flat for c, _ in g['consumers']):
+                continue
+            a = np.maximum.reduce([np.asarray(self.chan_max[s], np.float32)
+                                   for s in g['acts']])
+            C = a.shape[0]
+            ws = []
+            for site, kind in g['consumers']:
+                k = flat[site][0]
+                if kind == 'conv':
+                    ws.append(np.abs(k).max(axis=(0, 1, 3)))
+                elif kind == 'dense':
+                    ws.append(np.abs(k).max(axis=1))
+                else:  # dense_flat: rows group as (h*w, C)
+                    ws.append(np.abs(k.reshape(-1, C, k.shape[-1]))
+                              .max(axis=(0, 2)))
+            w = np.maximum.reduce(ws)
+            m = np.where(a > 0,
+                         a ** alpha / np.maximum(w, 1e-12) ** (1 - alpha),
+                         1.0)
+            m = np.where(np.isfinite(m), np.clip(m, 1e-4, 1e4), 1.0) \
+                .astype(np.float32)
+            for p in g['producers']:
+                k, b = flat[p]
+                flat[p] = (k / m, b / m)  # output axis is last everywhere
+            for site, kind in g['consumers']:
+                k, b = flat[site]
+                if kind == 'conv':
+                    k = k * m[None, None, :, None]
+                elif kind == 'dense':
+                    k = k * m[:, None]
+                else:
+                    k = (k.reshape(-1, C, k.shape[-1])
+                         * m[None, :, None]).reshape(k.shape)
+                flat[site] = (k, b)
+            for s in g['acts']:
+                cm = np.asarray(self.chan_max[s], np.float32) / m
+                self.chan_max[s] = cm
+                self.act_scales[s] = float(cm.max())
+            report[g['acts'][0]] = float(m.max() / max(m.min(), 1e-12))
+        self.flat = flat
+        self._flat_dev = None
+        self._fn = None
+        self._q_dev = None
+        self._ffinal_dev = None
+        return report
+
+    def _prepared_q(self):
+        """Int8 weight tree with bias_correct deltas applied (int8 path
+        only — the float twin keeps the original biases)."""
+        q = Int8Ops.prepare(self.flat)
+        for site, d in self.bias_delta.items():
+            if site in q:
+                w8, sw, b = q[site]
+                q[site] = (w8, sw, b + d)
+        return q
+
+    def bias_correct(self, images, passes: int = 1):
+        """Calibration-set bias correction (DFQ-style, arXiv:1906.04721).
+
+        Quantization noise is not zero-mean per channel (clipping +
+        rounding of weights and activations shift each output channel's
+        mean); measure E[y_int8 − y_float] per conv/dense output channel
+        on the calibration batch and subtract it from the int8 path's
+        bias. Zero serving cost; float twin untouched.
+
+        Sites are corrected SEQUENTIALLY in graph order (Gauss–Seidel),
+        re-measuring after each update: a correction only affects sites
+        downstream of it, so one topological sweep zeroes the per-channel
+        mean error at every site on the calibration batch exactly — a
+        simultaneous (Jacobi) update does not converge, because zeroing a
+        site's local error simultaneously shifts every downstream input.
+        `passes` > 1 polishes the second-order effect of requantization
+        rounding changing under the new biases (normally negligible).
+        Costs one calibration-batch forward per quantized site, at
+        calibration time only."""
+        if self.act_scales is None:
+            raise RuntimeError('calibrate() before bias_correct()')
+        mcfg = self._mcfg
+        x = jnp.asarray(images)
+        fsites = float_sites(mcfg)
+
+        def frun(flat, imgs):
+            ops = F32Ops(flat, mean_pixel=mcfg['mean_pixel'])
+            ops.capture = {}
+            twin_forward(ops, imgs, mcfg)
+            return ops.capture
+
+        fmeans = {k: np.asarray(v, np.float32)
+                  for k, v in jax.jit(frun)(self._flat_f32(), x).items()}
+        scales, acc = dict(self.act_scales), self.acc_dtype
+
+        order: list = []  # graph order, captured at trace time (the
+        # returned pytree is key-sorted, losing insertion order)
+
+        def qrun(q, flat, imgs):
+            ops = Int8Ops(q, flat, scales, acc,
+                          mean_pixel=mcfg['mean_pixel'],
+                          bf16_stem=mcfg.get('bf16_stem', False))
+            ops.capture = {}
+            twin_forward(ops, imgs, mcfg)
+            if not order:
+                order.extend(ops.capture.keys())
+            return ops.capture
+
+        qjit = jax.jit(qrun)
+        flat_dev = self._flat_f32()
+        ffinal = {s: flat_dev[s] for s in fsites if s in flat_dev}
+        # int8 kernels/scales never change across iterations — quantize
+        # once and only rebuild the (cheap) bias vectors per step
+        qbase = Int8Ops.prepare(self.flat)
+
+        def q_with_deltas():
+            q = dict(qbase)
+            for site, d in self.bias_delta.items():
+                if site in q:
+                    w8, sw, b = q[site]
+                    q[site] = (w8, sw, b + d)
+            return q
+
+        for _ in range(max(1, passes)):
+            qmeans = qjit(q_with_deltas(), ffinal, x)
+            sites = [s for s in order if s not in fsites]
+            for i, site in enumerate(sites):
+                err = np.asarray(qmeans[site], np.float32) - fmeans[site]
+                self.bias_delta[site] = np.asarray(
+                    self.bias_delta.get(site, 0.0) - err, np.float32)
+                if i + 1 < len(sites):  # re-measure downstream sites
+                    qmeans = qjit(q_with_deltas(), ffinal, x)
+        self._fn = None
+        self._q_dev = None
+        return {k: float(np.abs(v).max())
+                for k, v in self.bias_delta.items()}
 
     def __call__(self, images):
         if self.act_scales is None:
@@ -681,12 +991,11 @@ class QuantizedModel:
                 rep = parallel.replicated(self.mesh)
                 xsh = parallel.batch_sharding(self.mesh)
                 self._fn = jax.jit(fn, in_shardings=(rep, rep, xsh))
-                self._q_dev = jax.device_put(Int8Ops.prepare(self.flat),
-                                             rep)
+                self._q_dev = jax.device_put(self._prepared_q(), rep)
                 self._ffinal_dev = jax.device_put(ffinal, rep)
             else:
                 self._fn = jax.jit(fn)
-                self._q_dev = jax.device_put(Int8Ops.prepare(self.flat))
+                self._q_dev = jax.device_put(self._prepared_q())
                 self._ffinal_dev = ffinal
         x = jnp.asarray(images)
         if self.mesh is not None:
