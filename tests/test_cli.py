@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # see pytest.ini: core profile is -m "not slow"
+
 import pose_estimator
 import split_dataset as splitter
 from ursonet_tpu.data.synthetic import make_speed_dataset, make_urso_dataset

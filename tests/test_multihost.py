@@ -18,6 +18,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # see pytest.ini: core profile is -m "not slow"
+
 TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
