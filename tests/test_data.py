@@ -1,6 +1,8 @@
 """Data-layer tests: synthetic dataset generation, URSO/SPEED adapters,
 generator batching, host-parity vs device augmentation pipelines."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -449,3 +451,94 @@ def test_sim2real_per_image_order_batch_path():
     assert shared.shape == exact.shape == images.shape
     assert np.isfinite(np.asarray(exact)).all()
     assert not np.allclose(np.asarray(shared), np.asarray(exact))
+
+
+# ---------------------------------------------------------------------------
+# Real-format fixtures (round 4): RGBA PNG (URSO renders carry an alpha
+# plane — reference urso.py:143-153) and grayscale JPEG (SPEED captures are
+# 1920x1200 monochrome — reference speed.py:149-157). Committed under
+# tests/data/ so these branches are CI-covered without the real datasets.
+# ---------------------------------------------------------------------------
+
+_FIXTURES = os.path.join(os.path.dirname(__file__), 'data')
+_RGBA_PNG = os.path.join(_FIXTURES, 'fixture_rgba.png')
+_GRAY_JPG = os.path.join(_FIXTURES, 'fixture_gray_speed_crop.jpg')
+
+
+def test_load_image_rgb_drops_alpha_and_expands_gray():
+    import numpy as np
+    from PIL import Image
+
+    from ursonet_tpu.data.dataset import load_image_rgb
+
+    out = load_image_rgb(_RGBA_PNG)
+    assert out.shape == (48, 64, 3) and out.dtype == np.uint8
+    raw = np.asarray(Image.open(_RGBA_PNG))
+    assert raw.shape[-1] == 4  # the fixture really is RGBA
+    np.testing.assert_array_equal(out, raw[..., :3])
+
+    out = load_image_rgb(_GRAY_JPG)
+    assert out.shape == (120, 192, 3) and out.dtype == np.uint8
+    np.testing.assert_array_equal(out[..., 0], out[..., 1])
+    np.testing.assert_array_equal(out[..., 0], out[..., 2])
+    raw = np.asarray(Image.open(_GRAY_JPG))
+    assert raw.ndim == 2  # the fixture really is single-plane
+    np.testing.assert_array_equal(out[..., 0], raw)
+
+
+def test_native_loader_real_format_fixtures():
+    """native/host_loader.cpp must normalize RGBA and grayscale files to
+    3-channel RGB exactly like the PIL path (libpng RGBA strip, libjpeg
+    JCS_RGB gray expansion)."""
+    import numpy as np
+    import pytest
+
+    from ursonet_tpu.data import native_loader
+    from ursonet_tpu.data.dataset import load_image_rgb
+
+    if not native_loader.available():
+        pytest.skip("native loader not built")
+
+    for path in (_RGBA_PNG, _GRAY_JPG):
+        ref = load_image_rgb(path)
+        got = native_loader.decode(path)
+        assert got.shape == ref.shape, path
+        np.testing.assert_array_equal(got, ref)
+
+    # batch path (decode+resize+pad) on the grayscale file
+    h, w = 64, 96
+    out = native_loader.load_batch([_GRAY_JPG], h, w, h, w, 0, 0)
+    assert out.shape == (1, h, w, 3)
+    np.testing.assert_array_equal(out[0, ..., 0], out[0, ..., 1])
+
+
+def test_speed_adapter_grayscale_jpeg(tmp_path):
+    """The SPEED adapter must serve a real grayscale capture as
+    [H, W, 3] uint8 through Dataset.load_image."""
+    import json
+    import shutil
+
+    import numpy as np
+
+    from ursonet_tpu.config import Config
+    from ursonet_tpu.data.speed import Speed
+
+    img_dir = tmp_path / 'images' / 'train'
+    img_dir.mkdir(parents=True)
+    shutil.copy(_GRAY_JPG, img_dir / 'img000000.jpg')
+    ann = [{"filename": "img000000.jpg",
+            "q_vbs2tango": [1.0, 0.0, 0.0, 0.0],
+            "r_Vo2To_vbs_true": [0.1, -0.2, 12.5]}]
+    (tmp_path / 'train_no_val.json').write_text(json.dumps(ann))
+
+    config = Config()
+    config.REGRESS_LOC = config.REGRESS_ORI = True
+    config.update()
+    ds = Speed()
+    ds.load_dataset(str(tmp_path), config, 'train_no_val')
+    assert ds.num_images == 1
+    img = ds.load_image(0)
+    assert img.shape == (120, 192, 3) and img.dtype == np.uint8
+    np.testing.assert_array_equal(img[..., 0], img[..., 2])
+    np.testing.assert_allclose(ds.load_location(0), [0.1, -0.2, 12.5],
+                               rtol=1e-6)
