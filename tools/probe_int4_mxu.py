@@ -35,8 +35,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # int4 range kept inside int8 operands so the in-graph astype is exact
-_I4 = (-7, 7)
-_I8 = (-127, 127)
+_I4 = (-7, 8)     # randint maxval is EXCLUSIVE: symmetric [-7, 7]
+_I8 = (-127, 128)  # likewise [-127, 127]
 
 
 def _rand8(key, shape, for_dtype):
@@ -104,6 +104,11 @@ def pallas_vmem_loop(m, n, k, iters, dtype, reps=8):
         b = b_ref[:].astype(dtype)
 
         def body(i, acc):
+            # NOTE: `iters` accumulations of a K-deep int8 dot can wrap
+            # int32 in the worst case (127*127*K*iters ~ 4e9 at K=512);
+            # with zero-mean random operands overflow is statistically
+            # negligible and irrelevant to timing — the OUTPUT VALUE is
+            # timing-only, never a correctness reference (ADVICE r3).
             return acc + jnp.dot(a, b, preferred_element_type=jnp.int32)
         o_ref[:] = jax.lax.fori_loop(0, iters, body,
                                      jnp.zeros((m, n), jnp.int32))
