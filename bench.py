@@ -190,6 +190,11 @@ def main():
     backbone = os.environ.get('BENCH_BACKBONE', 'resnet50')
 
     config = Config()
+    # Reduced-FLOP serving variant (accuracy-gated: decoded ESA within 2%
+    # of the full flagship on the held-out split — PERF.md round-4
+    # FLOP-cut section). BENCH_INNER_MULT=1 serves the full flagship.
+    config.INNER_WIDTH_MULT = float(os.environ.get('BENCH_INNER_MULT',
+                                                   '1.0'))
     # ablation knobs for the int8 serving path (default = production)
     config.QUANT_STEM_S2D = os.environ.get('BENCH_S2D', '0') != '0'
     config.QUANT_BF16_STEM = os.environ.get('BENCH_BF16_STEM', '0') != '0'

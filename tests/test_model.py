@@ -417,3 +417,105 @@ def test_actq_wgrad8_int32_guard_falls_back():
     b = np.asarray(gw_q8['params']['kernel'])
     # fallback is the dequant wgrad: only x-rounding noise, no g noise
     assert np.linalg.norm(a - b) / np.linalg.norm(a) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Reduced-FLOP serving variant (round 4): INNER_WIDTH_MULT + prune_inner
+# ---------------------------------------------------------------------------
+
+def _small_r50(mult, h=64, w=64):
+    from ursonet_tpu.config import Config
+    from ursonet_tpu.models.ursonet import build_model
+
+    c = Config()
+    c.BACKBONE = 'resnet50'
+    c.BOTTLENECK_WIDTH = 32
+    c.BRANCH_SIZE = 64
+    c.NR_DENSE_LAYERS = 1
+    c.IMAGE_RESIZE_MODE = 'none'
+    c.IMAGE_MIN_DIM = h
+    c.IMAGE_MAX_DIM = w
+    c.IMAGES_PER_GPU = 2
+    c.INNER_WIDTH_MULT = mult
+    c.update()
+    return c, build_model(c)
+
+
+def test_inner_width_mult_scales_inner_only():
+    import flax.linen as nn
+    import jax
+
+    c, m = _small_r50(0.5)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    v = jax.eval_shape(lambda r: m.init(r, imgs, training=False),
+                       jax.random.PRNGKey(0))
+    p = nn.unbox(v)['params']['backbone']
+    # inner widths halve; stream widths and names are untouched
+    assert p['res3a']['res3a_branch2b']['kernel'].shape == (3, 3, 64, 64)
+    assert p['res3a']['res3a_branch2c']['kernel'].shape == (1, 1, 64, 512)
+    assert p['res3a']['res3a_branch1']['kernel'].shape == (1, 1, 256, 512)
+    assert p['res5c']['res5c_branch2b']['kernel'].shape == (3, 3, 256, 256)
+    assert p['conv1']['kernel'].shape == (7, 7, 3, 64)
+
+
+def test_inner_width_mult_rejected_for_basic_blocks():
+    from ursonet_tpu.config import Config
+    from ursonet_tpu.models.ursonet import build_model
+
+    c = Config()
+    c.BACKBONE = 'resnet18'
+    c.INNER_WIDTH_MULT = 0.5
+    c.IMAGE_RESIZE_MODE = 'none'
+    c.IMAGE_MIN_DIM = c.IMAGE_MAX_DIM = 64
+    c.update()
+    import jax
+    import pytest as _pytest
+    m = build_model(c)
+    with _pytest.raises(ValueError, match='INNER_WIDTH_MULT'):
+        jax.eval_shape(
+            lambda r: m.init(r, jnp.zeros((1, 64, 64, 3)), training=False),
+            jax.random.PRNGKey(0))
+
+
+@pytest.mark.slow
+def test_prune_inner_identity_and_reduction():
+    """mult=1.0 pruning is a bit-exact no-op; mult=0.5 pruning produces a
+    tree that loads exactly into the INNER_WIDTH_MULT=0.5 architecture."""
+    import copy
+    import os
+    import sys
+
+    import flax.linen as nn
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'tools'))
+    from prune_inner import prune_tree
+
+    c1, m1 = _small_r50(1.0)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 60
+    v = nn.unbox(m1.init(jax.random.PRNGKey(0), imgs, training=False))
+    tree = {'params': jax.tree.map(np.asarray, v['params']),
+            'batch_stats': jax.tree.map(np.asarray, v['batch_stats'])}
+
+    t1 = copy.deepcopy(tree)
+    assert len(prune_tree(t1, 1.0)) == 32  # 16 blocks x 2 inner spaces
+    ref = m1.apply(v, imgs, training=False)
+    out = m1.apply(t1, imgs, training=False)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(ref[k]),
+                                      np.asarray(out[k]))
+
+    t5 = copy.deepcopy(tree)
+    prune_tree(t5, 0.5)
+    c5, m5 = _small_r50(0.5)
+    shapes = jax.eval_shape(lambda r: m5.init(r, imgs, training=False),
+                            jax.random.PRNGKey(0))
+    want = jax.tree.leaves(jax.tree.map(
+        lambda a: a.shape, nn.unbox(shapes)['params']))
+    got = jax.tree.leaves(jax.tree.map(
+        lambda a: np.asarray(a).shape, t5['params']))
+    assert want == got
+    out5 = m5.apply(t5, imgs, training=False)
+    assert set(out5) == set(ref)

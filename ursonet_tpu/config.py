@@ -117,6 +117,18 @@ class Config:
     # profiling shows the stem dominating (small models / other TPU gens).
     STEM_SPACE_TO_DEPTH = False
 
+    # Reduced-FLOP serving variant (bottleneck backbones only): scale the
+    # INNER widths (f1, f2) of every bottleneck block by this factor,
+    # rounded to a multiple of 8. The residual-stream widths (256..2048),
+    # the stem, the bottleneck layer and the heads are untouched, so the
+    # checkpoint interface stays flagship-shaped and a trained flagship
+    # prunes into this architecture by structured channel selection
+    # (tools/prune_inner.py) + fine-tune. At 0.5 the per-block FLOPs drop
+    # 2.85 -> 1.05 GFLOP (1x1s halve, the 3x3 quarters): ResNet-50
+    # 512x640 falls 53.65 -> ~24 GFLOP/img, roughly doubling the int8
+    # serving speed-of-light (PERF.md round-4 FLOP-cut section).
+    INNER_WIDTH_MULT = 1.0
+
     # int8-PTQ serving knobs (models/quant.py). QUANT_STEM_S2D rewrites
     # the stem kernel into the s2d form at quantization time — exact,
     # works on any checkpoint, needs even molded H,W. Measured -3.6%

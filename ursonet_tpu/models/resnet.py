@@ -257,13 +257,20 @@ def _remat_wrap(block_cls, remat):
 
 class ResNetBackbone(nn.Module):
     """ResNet-50/101 feature extractor; returns C5 (reference
-    resnet_graph net.py:161-199 with stage5=True)."""
+    resnet_graph net.py:161-199 with stage5=True).
+
+    inner_mult scales the bottleneck INNER widths (f1, f2) only — the
+    reduced-FLOP serving variant (Config.INNER_WIDTH_MULT); stream
+    widths and all layer names are unchanged, so checkpoints stay
+    interface-compatible with the flagship and prune into this shape
+    by channel selection (tools/prune_inner.py)."""
     architecture: str = 'resnet50'
     train_bn: Any = False
     dtype: Dtype = jnp.float32
     stem_s2d: bool = False
     remat: Any = False
     act_q8: bool = False
+    inner_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -284,6 +291,9 @@ class ResNetBackbone(nn.Module):
         Block = _remat_wrap(BottleneckBlock, self.remat)
 
         def blk(y, filters, stage, block, strides=1, conv_shortcut=False):
+            f1, f2, f3 = filters
+            filters = (scale_inner(f1, self.inner_mult),
+                       scale_inner(f2, self.inner_mult), f3)
             return Block(
                 filters, stage, block, strides, conv_shortcut,
                 train_bn=self.train_bn, dtype=dt, act_q8=self.act_q8,
@@ -346,14 +356,25 @@ class ResNetShallowBackbone(nn.Module):
         return y
 
 
+def scale_inner(f: int, mult: float) -> int:
+    """Scaled inner width, rounded to a multiple of 8 (min 8)."""
+    return max(8, int(round(f * mult / 8.0)) * 8)
+
+
 def make_backbone(architecture: str, train_bn, dtype,
                   stem_s2d: bool = False,
                   remat: Any = False,
-                  act_q8: bool = False) -> nn.Module:
+                  act_q8: bool = False,
+                  inner_mult: float = 1.0) -> nn.Module:
     if architecture in ('resnet50', 'resnet101'):
         return ResNetBackbone(architecture, train_bn, dtype, stem_s2d,
-                              remat, act_q8, name='backbone')
+                              remat, act_q8, inner_mult, name='backbone')
     if architecture in ('resnet18', 'resnet34'):
+        if inner_mult != 1.0:
+            raise ValueError('INNER_WIDTH_MULT applies to bottleneck '
+                             'backbones (resnet50/101) only: basic blocks '
+                             'have no inner channel space distinct from '
+                             'the residual stream')
         return ResNetShallowBackbone(architecture, train_bn, dtype,
                                      stem_s2d, remat, act_q8,
                                      name='backbone')

@@ -40,13 +40,14 @@ class UrsoNetModule(nn.Module):
     stem_s2d: bool = False
     remat: Any = False
     act_q8: bool = False
+    inner_mult: float = 1.0
 
     @nn.compact
     def __call__(self, images, training: bool = False) -> Dict[str, jnp.ndarray]:
         x = images.astype(self.dtype)
         c5 = make_backbone(self.backbone, self.train_bn, self.dtype,
                            self.stem_s2d, self.remat,
-                           self.act_q8)(x, training)
+                           self.act_q8, self.inner_mult)(x, training)
         c6 = nn.Conv(self.bottleneck_width, (3, 3), strides=(2, 2),
                      padding='SAME', name='bottleneck_layer',
                      dtype=self.dtype)(c5)
@@ -109,4 +110,5 @@ def build_model(config) -> UrsoNetModule:
         stem_s2d=bool(getattr(config, 'STEM_SPACE_TO_DEPTH', False)),
         remat=getattr(config, 'REMAT', False),
         act_q8=getattr(config, 'TRAIN_ACT_Q8', False),
+        inner_mult=float(getattr(config, 'INNER_WIDTH_MULT', 1.0)),
     )
