@@ -683,3 +683,33 @@ def test_quant_store_roundtrip_with_bias_delta(tmp_path):
     out2 = {k: np.asarray(v) for k, v in qm2(imgs).items()}
     for k in out:
         np.testing.assert_allclose(out2[k], out[k], rtol=1e-5, atol=1e-5)
+
+
+def test_s8_join_close_to_float_and_artifact_safe(tmp_path):
+    """QUANT_S8_JOIN runs every residual join in the output-scale integer
+    domain (one extra <=1-LSB rounding per operand): must stay within the
+    random-init gate, and the serving artifact round-trips bit-exactly
+    under the knob."""
+    from ursonet_tpu.checkpoint.quant_store import load_quantized, \
+        save_quantized
+
+    for backbone in ('resnet18', 'resnet50'):
+        config, model, variables, imgs = _make(backbone)
+        config.QUANT_S8_JOIN = True
+        qm = QuantizedModel.from_variables(
+            config, variables['params'], variables['batch_stats'])
+        assert qm._mcfg['s8_join']
+        ref = {k: np.asarray(v) for k, v in qm.float_twin(imgs).items()}
+        qm.calibrate(imgs)
+        out = {k: np.asarray(v) for k, v in qm(imgs).items()}
+        for k in ref:
+            rel = (np.linalg.norm(out[k] - ref[k])
+                   / (np.linalg.norm(ref[k]) + 1e-9))
+            assert rel < 0.15, f'{backbone} {k}: {rel}'
+
+    path = str(tmp_path / 'q.msgpack')
+    save_quantized(path, qm)
+    qm2 = load_quantized(path, config)
+    out2 = {k: np.asarray(v) for k, v in qm2(imgs).items()}
+    for k in out:
+        np.testing.assert_allclose(out2[k], out[k], rtol=1e-5, atol=1e-5)

@@ -164,6 +164,12 @@ class F32Ops:
     def add(self, a, b):
         return a + b
 
+    def join(self, r, sc, site):
+        """Residual join: relu(r + sc) requantized at `site`. A single op
+        so the int8 phase can fuse the whole join in the integer domain
+        (QUANT_S8_JOIN)."""
+        return self.relu(self.add(r, sc), site)
+
     def maxpool(self, x):
         return jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), 'SAME')
@@ -213,6 +219,9 @@ class CalibOps(F32Ops):
         self._observe(site, x)
         return x.reshape(x.shape[0], -1)
 
+    def join(self, r, sc, site):
+        return self._observe(site, jax.nn.relu(r + sc))
+
 
 def quantize_weight(w):
     """Per-output-channel symmetric int8 quantization of a kernel.
@@ -246,7 +255,7 @@ class Int8Ops:
     keeps the head outputs (e.g. the 4-float quaternion) clean."""
 
     def __init__(self, q, flat, act_scales, acc_dtype=jnp.float32,
-                 mean_pixel=None, bf16_stem=False):
+                 mean_pixel=None, bf16_stem=False, s8_join=False):
         """q: {site: (w8, sw, b)} from prepare(); flat: float kernels for
         the dense_final sites. Both may be jit tracers — the weight
         trees ride as ARGUMENTS of the jitted forward, not as baked-in
@@ -255,6 +264,7 @@ class Int8Ops:
         self.dt = acc_dtype
         self.mean_pixel = mean_pixel
         self.bf16_stem = bf16_stem
+        self.s8_join = s8_join
         # Clamp: a site whose calibration batch produced all-zero
         # activations (dead ReLU on a small batch) must not divide by 0.
         self.scales = {k: max(float(v), 1e-10)
@@ -356,6 +366,28 @@ class Int8Ops:
         if isinstance(b, _QT):
             b = self.dequant(b)
         return a + b
+
+    def join(self, r, sc, site):
+        """Residual join. Default: float add + relu + requant (three
+        elementwise steps XLA fuses into the expansion conv's epilogue,
+        but whose operands travel at >=2 bytes/elem). Under QUANT_S8_JOIN
+        the whole join runs in the output-scale integer domain:
+        both operands round onto the `site` grid (s_out), the add+relu is
+        an integer clip — one extra <=1-LSB rounding on each operand, but
+        every HBM-crossing tensor of the join is 1 byte/elem
+        (PERF.md round-3 audit: the C2 expansion joins were the last
+        bandwidth item above its speed-of-light)."""
+        if not (self.s8_join and site in self.scales):
+            return self.relu(self.add(r, sc), site)
+        s_out = self.scales[site] / 127.0
+        r_i = jnp.round(r.astype(jnp.float32) / s_out)
+        if isinstance(sc, _QT):
+            sc_i = jnp.round(sc.arr.astype(jnp.float32)
+                             * (sc.scale / s_out))
+        else:
+            sc_i = jnp.round(sc.astype(jnp.float32) / s_out)
+        q = jnp.clip(r_i + sc_i, 0, 127)  # relu == the lower clip
+        return _QT(q.astype(jnp.int8), s_out)
 
     def maxpool(self, x):
         # monotonic => commutes with quantization; pool in int8 directly
@@ -506,10 +538,6 @@ def migration_groups(mcfg) -> list:
 # The twin graph (mirrors models/ursonet.py + models/resnet.py exactly)
 # --------------------------------------------------------------------------
 
-def _dequant_maybe(ops, x):
-    return ops.dequant(x) if isinstance(ops, Int8Ops) else x
-
-
 def _stem(ops, x, mcfg, name):
     """Stem conv: 7×7/2 with (3,3) pad, or its exact space-to-depth
     rewrite (models/resnet.py:_stem_conv) when the folded kernel is in
@@ -543,14 +571,13 @@ def _bottleneck_backbone(ops, x, architecture, mcfg):
         # residual join reads 1 byte/elem, not a 4-byte int32
         # accumulator materialized across fusion boundaries
         sc = ops.requant(ops.conv(y, c + '1', strides, 'VALID'),
-                         c + '1/out') if conv_shortcut \
-            else _dequant_maybe(ops, y)
+                         c + '1/out') if conv_shortcut else y
         r = ops.conv(y, c + '2a', strides, 'VALID')
         r = ops.relu(r, c + '2a/out')
         r = ops.conv(r, c + '2b', 1, 'SAME')
         r = ops.relu(r, c + '2b/out')
         r = ops.conv(r, c + '2c', 1, 'VALID')
-        return ops.relu(ops.add(r, sc), c + '/out')
+        return ops.join(r, sc, c + '/out')
 
     y = block(y, 2, 'a', 1, True)
     y = block(y, 2, 'b', 1, False)
@@ -583,12 +610,12 @@ def _basic_backbone(ops, x, architecture, mcfg):
             sc = ops.requant(
                 ops.conv(y, base + 'sc', strides, 'VALID'),
                 base + 'sc/out') \
-                if cut == 'post' else _dequant_maybe(ops, y)
+                if cut == 'post' else y
             r = ops.conv(y, base + 'conv1', strides,
                          [(1, 1), (1, 1)])
             r = ops.relu(r, base + 'conv1/out')
             r = ops.conv(r, base + 'conv2', 1, [(1, 1), (1, 1)])
-            y = ops.relu(ops.add(r, sc), base + '/out')
+            y = ops.join(r, sc, base + '/out')
     return y
 
 
@@ -713,6 +740,9 @@ class QuantizedModel:
             # bf16, everything else int8) — artifact-validated like the
             # other knobs so goldens stay reproducible
             bf16_stem=bool(getattr(config, 'QUANT_BF16_STEM', False)),
+            # integer residual joins (serving bandwidth knob; PERF.md
+            # round-4 measurement)
+            s8_join=bool(getattr(config, 'QUANT_S8_JOIN', False)),
             # float classification finals (decode-critical logits)
             float_cls_final=bool(getattr(config, 'QUANT_FLOAT_CLS_FINAL',
                                          False)),
@@ -980,7 +1010,8 @@ class QuantizedModel:
             def fn(q, flat, x):
                 ops = Int8Ops(q, flat, scales, acc,
                               mean_pixel=mcfg['mean_pixel'],
-                              bf16_stem=mcfg.get('bf16_stem', False))
+                              bf16_stem=mcfg.get('bf16_stem', False),
+                              s8_join=mcfg.get('s8_join', False))
                 return twin_forward(ops, x, mcfg)
 
             fsites = float_sites(mcfg)
