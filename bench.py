@@ -196,6 +196,7 @@ def main():
     config.INNER_WIDTH_MULT = float(os.environ.get('BENCH_INNER_MULT',
                                                    '1.0'))
     # ablation knobs for the int8 serving path (default = production)
+    config.QUANT_S8_JOIN = os.environ.get('BENCH_S8_JOIN', '0') != '0'
     config.QUANT_STEM_S2D = os.environ.get('BENCH_S2D', '0') != '0'
     config.QUANT_BF16_STEM = os.environ.get('BENCH_BF16_STEM', '0') != '0'
     # BENCH_HOST_S2D: serving input shipped pre-s2d by the host (implies

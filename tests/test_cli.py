@@ -65,6 +65,16 @@ def test_cli_train_then_evaluate_then_test(urso_env, capsys):
     assert rc == 0
     assert 'ESA score' in capsys.readouterr().out
 
+    # the PTQ accuracy techniques ride the same path (round 4)
+    rc = pose_estimator.main(_args(
+        urso_env, 'evaluate', '--weights', 'last', '--int8',
+        '--smooth_quant', '0.5', '--bias_correct', '1'))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'SmoothQuant migration applied' in out
+    assert 'bias correction applied' in out
+    assert 'ESA score' in out
+
     # export: Keras-h5 + calibrated int8 serving artifact
     rc = pose_estimator.main(_args(urso_env, 'export',
                                    '--weights', 'last', '--int8'))

@@ -45,13 +45,23 @@ def build_variant(name, batch, h, w):
     config.IMAGE_MIN_DIM = h
     config.IMAGE_MAX_DIM = w
     config.F16 = True
-    if name == 'host_s2d':
-        config.QUANT_STEM_S2D = True
-        config.QUANT_HOST_S2D = True
-    elif name == 'bf16_stem':
-        config.QUANT_BF16_STEM = True
-    elif name == 's2d':
-        config.QUANT_STEM_S2D = True
+    # composable variant spec: '+'-separated tokens, e.g. 'w05+s8join'
+    for tok in name.split('+'):
+        if tok in ('base', ''):
+            pass
+        elif tok == 'host_s2d':
+            config.QUANT_STEM_S2D = True
+            config.QUANT_HOST_S2D = True
+        elif tok == 'bf16_stem':
+            config.QUANT_BF16_STEM = True
+        elif tok == 's2d':
+            config.QUANT_STEM_S2D = True
+        elif tok == 's8join':
+            config.QUANT_S8_JOIN = True
+        elif tok.startswith('w'):      # wNN -> INNER_WIDTH_MULT 0.NN
+            config.INNER_WIDTH_MULT = float('0.' + tok[1:])
+        else:
+            raise SystemExit(f'unknown variant token {tok!r}')
     config.update()
 
     model = build_model(config)
@@ -64,16 +74,11 @@ def build_variant(name, batch, h, w):
     qm = QuantizedModel.from_variables(
         config, variables['params'], variables['batch_stats'])
 
-    in_shape = (batch, h // 2, w // 2, 12) if name == 'host_s2d' \
+    in_shape = (batch, h // 2, w // 2, 12) if 'host_s2d' in name \
         else (batch, h, w, 3)
-    if name == 'bf16_stem':
-        images = jax.jit(
-            lambda k: jax.random.randint(k, in_shape, 0, 256, jnp.int32)
-            .astype(jnp.uint8))(jax.random.PRNGKey(0))
-    else:
-        images = jax.jit(
-            lambda k: jax.random.randint(k, in_shape, 0, 256, jnp.int32)
-            .astype(jnp.uint8))(jax.random.PRNGKey(0))
+    images = jax.jit(
+        lambda k: jax.random.randint(k, in_shape, 0, 256, jnp.int32)
+        .astype(jnp.uint8))(jax.random.PRNGKey(0))
     qm.calibrate(images[:8])
     out = qm(images[:8])           # compile + sanity
     for k, v in out.items():
