@@ -373,10 +373,14 @@ class Int8Ops:
         but whose operands travel at >=2 bytes/elem). Under QUANT_S8_JOIN
         the whole join runs in the output-scale integer domain:
         both operands round onto the `site` grid (s_out), the add+relu is
-        an integer clip — one extra <=1-LSB rounding on each operand, but
-        every HBM-crossing tensor of the join is 1 byte/elem
-        (PERF.md round-3 audit: the C2 expansion joins were the last
-        bandwidth item above its speed-of-light)."""
+        an integer clip — one extra <=1-LSB rounding on each operand.
+
+        MEASURED NEGATIVE (PERF.md round 4): -28.5% end-to-end vs the
+        default path in the same-process A/B. The residual stream
+        already arrives as s8 (_QT) with its dequant fused into the
+        join epilogue, so the hoped-for traffic saving did not exist,
+        and the integer grid-rounding chains break XLA's expansion-conv
+        epilogue fusion. Kept as an ablation knob; default off."""
         if not (self.s8_join and site in self.scales):
             return self.relu(self.add(r, sc), site)
         s_out = self.scales[site] / 127.0
