@@ -39,9 +39,29 @@ def enable_compilation_cache(cache_dir: str | None = None) -> bool:
             # the TPU tunnel is unclaimable (BENCH_r02 died here) — it must
             # stay inside this try so callers degrade to no-cache instead
             # of crashing before their own error handling.
+            # The tag must also carry the *host machine's* identity: XLA's
+            # CPU AOT blobs bake in the compiling host's CPU features
+            # (avx512 etc.), and a cache dir shared across machines (same
+            # backend, same flags) feeds one host another host's code —
+            # observed as cpu_aot_loader "machine type doesn't match"
+            # errors when this repo moved between boxes mid-round.
             import hashlib
-            tag = (jax.default_backend() + '-' + hashlib.sha1(
-                os.environ.get('XLA_FLAGS', '').encode()).hexdigest()[:8])
+            backend = jax.default_backend()
+            flags = ''
+            if backend == 'cpu':
+                try:
+                    with open('/proc/cpuinfo') as f:
+                        flags = next(
+                            (ln for ln in f if ln.startswith('flags')), '')
+                except OSError:
+                    import platform
+                    flags = platform.processor() or platform.machine()
+            # Plain concatenation (no separator): when flags == '' the
+            # hash input is byte-identical to what earlier rounds wrote,
+            # so existing TPU cache entries stay warm.
+            tag = (backend + '-' + hashlib.sha1(
+                (os.environ.get('XLA_FLAGS', '') + flags)
+                .encode()).hexdigest()[:8])
             cache_dir = os.path.join(_DEFAULT_DIR, tag)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
