@@ -87,13 +87,28 @@ def test_cluster_matches_single_process(mh_dataset, tmp_path, nprocs, dpp):
     env['PYTHONPATH'] = TESTS_DIR + os.pathsep + \
         os.path.dirname(TESTS_DIR) + os.pathsep + env.get('PYTHONPATH', '')
     workdir = str(tmp_path)
+
+    def spawn(port):
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, 'multihost_worker.py'),
+             str(pid), str(nprocs), str(port), mh_dataset, workdir,
+             str(dpp)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for pid in range(nprocs)]
+        return procs, [p.communicate(timeout=900)[0].decode()
+                       for p in procs]
+
+    # Gloo's TCP pair setup can time out on a loaded 1-core CI box (the
+    # coordinator comes up but a worker's connect stalls past gloo's
+    # internal deadline). That is infrastructure flake, not a numerics
+    # failure — retry the whole cluster once on a fresh port before
+    # declaring failure.
     port = 12801 + ((os.getpid() + 7 * nprocs) % 500)
-    procs = [subprocess.Popen(
-        [sys.executable, os.path.join(TESTS_DIR, 'multihost_worker.py'),
-         str(pid), str(nprocs), str(port), mh_dataset, workdir, str(dpp)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(nprocs)]
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    procs, outs = spawn(port)
+    if any(p.returncode != 0 for p in procs) and any(
+            'Connect timeout' in o or 'Gloo context initialization' in o
+            for o in outs):
+        procs, outs = spawn(port + 531)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f'worker failed:\n{out[-4000:]}'
 
