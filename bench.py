@@ -190,9 +190,10 @@ def main():
     backbone = os.environ.get('BENCH_BACKBONE', 'resnet50')
 
     config = Config()
-    # Reduced-FLOP serving variant (accuracy-gated: decoded ESA within 2%
-    # of the full flagship on the held-out split — PERF.md round-4
-    # FLOP-cut section). BENCH_INNER_MULT=1 serves the full flagship.
+    # Reduced-FLOP serving variant. The accuracy bar (decoded ESA within
+    # 2% of the full flagship's float on the held-out split) is checked
+    # by tools/run_flop_cut_gate.sh; PERF.md records which widths have
+    # passed it. BENCH_INNER_MULT=1 serves the full flagship.
     config.INNER_WIDTH_MULT = float(os.environ.get('BENCH_INNER_MULT',
                                                    '1.0'))
     # ablation knobs for the int8 serving path (default = production)
