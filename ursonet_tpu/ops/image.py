@@ -49,83 +49,80 @@ def _bilinear_resize(image: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return out if image.ndim == 3 else out[..., 0]
 
 
+def _pick_scale(h, w, min_dim, max_dim, min_scale, clamp_max):
+    """Scale factor per the reference contract: bring the small side up to
+    `min_dim`, floor at `min_scale`, then cap so the long side does not
+    exceed `max_dim` (the cap wins over both)."""
+    scale = min_dim / min(h, w) if min_dim else 1
+    if min_scale:
+        scale = max(scale, min_scale)
+    if clamp_max and max_dim and round(max(h, w) * scale) > max_dim:
+        scale = max_dim / max(h, w)
+    return scale
+
+
+def _pad_centered(image, out_h, out_w):
+    """Zero-pad `image` to (out_h, out_w), split evenly per axis with the
+    odd pixel going to the bottom/right. Returns (padded, window, padding)
+    with window = (y1, x1, y2, x2) framing the original content."""
+    h, w = image.shape[:2]
+    top, left = (out_h - h) // 2, (out_w - w) // 2
+    padding = [(top, out_h - h - top), (left, out_w - w - left)]
+    if image.ndim > 2:
+        padding.append((0, 0))
+    padded = np.pad(image, padding, mode="constant", constant_values=0)
+    return padded, (top, left, top + h, left + w), padding
+
+
 def resize_image(image, min_dim=None, max_dim=None, min_scale=None,
                  mode="square", rng: random.Random | None = None):
     """Resize keeping aspect ratio; pad/crop according to `mode`.
 
-    Same contract as the reference (utils.py:398-511):
       mode none:   unchanged.
       mode square: scale so small side == min_dim without long side
                    exceeding max_dim, center-pad to (max_dim, max_dim).
-      mode pad64:  optional scale, pad H and W to multiples of 64.
+      mode pad64:  optional scale, center-pad H and W up to multiples
+                   of 64 (the default training/serving mode).
       mode crop:   scale then random min_dim² crop (training only).
 
     Returns (image, window, scale, padding, crop) with window=(y1,x1,y2,x2)
     marking the un-padded region.
+
+    Derivation note: the scale selection and center-pad arithmetic must be
+    bit-compatible with the reference's Mask-R-CNN-lineage resize
+    (/root/reference/utils.py:398-511, itself MIT matterport code) because
+    the resulting window rides in image_meta and feeds the decode path;
+    the implementation here is restructured around _pick_scale /
+    _pad_centered but preserves that arithmetic exactly (pinned by
+    tests/test_image_config.py).
     """
     image_dtype = image.dtype
     h, w = image.shape[:2]
-    window = (0, 0, h, w)
-    scale = 1
-    padding = [(0, 0), (0, 0), (0, 0)]
-    crop = None
-
+    no_pad = [(0, 0), (0, 0), (0, 0)]
     if mode == "none":
-        return image, window, scale, padding, crop
+        return image, (0, 0, h, w), 1, no_pad, None
 
-    if min_dim:
-        scale = min_dim / min(h, w)
-    if min_scale and scale < min_scale:
-        scale = min_scale
-    if max_dim and mode != "crop":
-        image_max = max(h, w)
-        if round(image_max * scale) > max_dim:
-            scale = max_dim / image_max
-
+    scale = _pick_scale(h, w, min_dim, max_dim, min_scale,
+                        clamp_max=(mode != "crop"))
     if scale != 1:
         image = _bilinear_resize(image, round(h * scale), round(w * scale))
+    h, w = image.shape[:2]
+    crop = None
 
     if mode == "square":
-        h, w = image.shape[:2]
-        top_pad = (max_dim - h) // 2
-        bottom_pad = max_dim - h - top_pad
-        left_pad = (max_dim - w) // 2
-        right_pad = max_dim - w - left_pad
-        padding = [(top_pad, bottom_pad), (left_pad, right_pad)]
-        if image.ndim > 2:
-            padding = padding + [(0, 0)]
-        image = np.pad(image, padding, mode='constant', constant_values=0)
-        window = (top_pad, left_pad, h + top_pad, w + left_pad)
+        image, window, padding = _pad_centered(image, max_dim, max_dim)
     elif mode == "pad64":
-        h, w = image.shape[:2]
-        assert min_dim % 64 == 0, "Minimum dimension must be a multiple of 64"
-        if h % 64 > 0:
-            max_h = h - (h % 64) + 64
-            top_pad = (max_h - h) // 2
-            bottom_pad = max_h - h - top_pad
-        else:
-            top_pad = bottom_pad = 0
-        if w % 64 > 0:
-            max_w = w - (w % 64) + 64
-            left_pad = (max_w - w) // 2
-            right_pad = max_w - w - left_pad
-        else:
-            left_pad = right_pad = 0
-        padding = [(top_pad, bottom_pad), (left_pad, right_pad)]
-        if image.ndim > 2:
-            padding = padding + [(0, 0)]
-        image = np.pad(image, padding, mode='constant', constant_values=0)
-        window = (top_pad, left_pad, h + top_pad, w + left_pad)
+        assert min_dim % 64 == 0, "pad64 requires min_dim % 64 == 0"
+        image, window, padding = _pad_centered(
+            image, -(-h // 64) * 64, -(-w // 64) * 64)
     elif mode == "crop":
-        h, w = image.shape[:2]
         r = rng if rng is not None else random
-        y = r.randint(0, (h - min_dim))
-        x = r.randint(0, (w - min_dim))
-        crop = (y, x, min_dim, min_dim)
+        y, x = r.randint(0, h - min_dim), r.randint(0, w - min_dim)
         image = image[y:y + min_dim, x:x + min_dim]
-        window = (0, 0, min_dim, min_dim)
+        window, padding = (0, 0, min_dim, min_dim), no_pad
+        crop = (y, x, min_dim, min_dim)
     else:
-        raise ValueError(f"Mode {mode} not supported")
+        raise ValueError(f"unknown resize mode: {mode!r}")
     return image.astype(image_dtype), window, scale, padding, crop
 
 
