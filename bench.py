@@ -127,10 +127,11 @@ def run_trained_gate():
         os.path.join(_ROOT, 'tools', 'make_gate_artifact.py'))
     mga = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mga)
-    cfg = mga.gate_config()
-    cfg.update()
-    qm = load_quantized(art, cfg)
     g = np.load(gold)
+    # the golden records which config built the artifact (tiny
+    # self-trained vs flagship-from-checkpoint) — rebuild that config
+    cfg = mga.config_for_golden(g)
+    qm = load_quantized(art, cfg)
     # The drift tripwire compares against goldens computed on the
     # EXPORT backend; float matmul precision differs across backends
     # (TPU default-precision vs CPU), so only enforce it when the
@@ -278,6 +279,13 @@ def main():
                                               QuantizedModel)
         qm = QuantizedModel.from_variables(config, params, batch_stats)
         qm.calibrate(images[:8])
+        # Production classification-serving combo (CLI default too):
+        # SmoothQuant 0.5 + 1-pass bias correction — zero serving cost
+        # by construction (offline weight/bias rewrites only).
+        if os.environ.get('BENCH_SMOOTH', '1') != '0':
+            qm.smooth(0.5)
+        if os.environ.get('BENCH_BIASCORR', '1') != '0':
+            qm.bias_correct(images[:8], passes=1)
         # Accuracy gate: int8 must track the float model on this batch.
         ref = {k: np.asarray(v)
                for k, v in qm.float_twin(images[:8]).items()}

@@ -121,14 +121,19 @@ def build_parser() -> argparse.ArgumentParser:
                         'scale migration after calibration (zero '
                         'serving cost; models/quant.py smooth). '
                         'Optional ALPHA in [0,1] balances activation- '
-                        'vs weight-range flattening (default 0.5)')
-    p.add_argument('--bias_correct', nargs='?', const=1, default=0,
+                        'vs weight-range flattening (default 0.5). '
+                        'ON by default (0.5) when a classification '
+                        'head is served — the measured parity combo, '
+                        'PERF.md — pass a negative ALPHA to disable')
+    p.add_argument('--bias_correct', nargs='?', const=1, default=None,
                    type=int, metavar='PASSES',
                    help='with --int8: subtract per-channel quantization '
                         'bias measured on the calibration batch from '
                         'the int8 path (DFQ-style; models/quant.py '
                         'bias_correct). PASSES>1 re-measures with the '
-                        'previous correction applied (default 1)')
+                        'previous correction applied (default 1). ON '
+                        'by default (1 pass) when a classification '
+                        'head is served; pass 0 to disable')
     p.add_argument('--int8_float_finals', action='store_true',
                    help='with --int8: run the classification final '
                         'denses in float (decode-critical logits, '
@@ -331,20 +336,39 @@ def calibrate_int8(engine, args, dataset, config):
         used += ids
     print(f"int8: calibrated on {len(set(used))} fixed images "
           f"({n_batches} batch(es), ids {used[0]}..{max(set(used))})")
-    alpha = getattr(args, 'smooth_quant', None)
-    if alpha is not None:
-        report = engine._qmodel.smooth(alpha)
-        worst = max(report.values()) if report else 1.0
-        print(f"int8: SmoothQuant migration applied (alpha={alpha}, "
-              f"{len(report)} groups, worst channel spread {worst:.1f}x)")
-    passes = getattr(args, 'bias_correct', 0) or 0
-    if passes:
+    def molded_fn():
         ids = all_ids[:config.BATCH_SIZE]
         ids += [ids[-1]] * (config.BATCH_SIZE - len(ids))
         molded, _, _ = engine.mold_inputs(
             [dataset.load_image(i) for i in ids])
-        engine._qmodel.bias_correct(engine._host_s2d_maybe(molded),
-                                    passes=passes)
+        return engine._host_s2d_maybe(molded)
+
+    apply_ptq_refinements(engine, args, config, molded_fn)
+
+
+def apply_ptq_refinements(engine, args, config, molded_fn):
+    """SmoothQuant migration + bias correction on the calibrated model.
+
+    Production default for classification-head serving: the measured
+    float-parity combo is smooth_quant 0.5 + bias_correct 1 (PERF.md
+    round-4 ablation: +0.13%% ESA vs +2.4%% plain PTQ). Regression heads
+    keep plain PTQ as default (+0.45%% measured there; the techniques are
+    ~neutral). Explicit flags always win: a negative ALPHA disables the
+    migration, PASSES=0 disables the correction."""
+    classification = not (config.REGRESS_ORI and config.REGRESS_LOC)
+    alpha = getattr(args, 'smooth_quant', None)
+    passes = getattr(args, 'bias_correct', None)
+    if classification:
+        alpha = 0.5 if alpha is None else alpha
+        passes = 1 if passes is None else passes
+    if alpha is not None and alpha >= 0:
+        report = engine._qmodel.smooth(alpha)
+        worst = max(report.values()) if report else 1.0
+        print(f"int8: SmoothQuant migration applied (alpha={alpha}, "
+              f"{len(report)} groups, worst channel spread {worst:.1f}x)")
+    passes = passes or 0
+    if passes:
+        engine._qmodel.bias_correct(molded_fn(), passes=passes)
         print(f"int8: bias correction applied ({passes} pass(es))")
 
 
@@ -396,6 +420,10 @@ def main(argv=None):
             ids += [ids[-1]] * (config.BATCH_SIZE - len(ids))
             images = [dataset.load_image(i) for i in ids]
             qmodel = engine.quantize(images)  # rebuild + calibrate
+            molded, _, _ = engine.mold_inputs(images)
+            apply_ptq_refinements(
+                engine, args, config,
+                lambda: engine._host_s2d_maybe(molded))
             q_path = os.path.join(args.out_dir, f'{config.NAME}_int8.msgpack')
             save_quantized(q_path, qmodel)
             print(f"int8 serving artifact written to {q_path}")

@@ -90,6 +90,44 @@ def test_cli_train_then_evaluate_then_test(urso_env, capsys):
     assert set(out) == {'loc', 'ori'}
 
 
+def test_cli_int8_classification_default_combo(urso_env, capsys):
+    """Classification-head serving defaults to the measured parity combo
+    (smooth_quant 0.5 + bias_correct 1, PERF.md round 4); explicit
+    negative/zero flags disable it; regression serving stays plain."""
+    cls = ['--backbone', 'resnet18', '--bottleneck', '8',
+           '--branch_size', '16', '--image_scale', '0.1',
+           '--classify_ori', '--ori_resolution', '4']
+
+    def args(command, *extra):
+        return ([command, '--dataset', 'soyuz_tiny',
+                 '--data_dir', urso_env['data_dir'],
+                 '--logs', urso_env['logs'],
+                 '--out_dir', urso_env['out']] + cls + list(extra))
+
+    rc = pose_estimator.main(args(
+        'train', '--weights', 'none', '--epochs', '1',
+        '--batch_size', '2', '--steps_per_epoch', '2'))
+    assert rc == 0
+    capsys.readouterr()
+
+    # default --int8 on a classification head: combo applied
+    rc = pose_estimator.main(args('evaluate', '--weights', 'last',
+                                  '--int8'))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'SmoothQuant migration applied (alpha=0.5' in out
+    assert 'bias correction applied (1 pass(es))' in out
+
+    # explicit opt-out
+    rc = pose_estimator.main(args('evaluate', '--weights', 'last',
+                                  '--int8', '--smooth_quant', '-1',
+                                  '--bias_correct', '0'))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'SmoothQuant migration applied' not in out
+    assert 'bias correction applied' not in out
+
+
 def test_cli_submit_speed(tmp_path, capsys):
     data_dir = tmp_path / 'datasets'
     make_speed_dataset(str(data_dir / 'speed'),

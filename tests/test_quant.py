@@ -385,9 +385,8 @@ def _load_gate():
         os.path.join(_GATE_DIR, 'tools', 'make_gate_artifact.py'))
     mga = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mga)
-    cfg = mga.gate_config()
-    cfg.update()
-    return load_quantized(_GATE_ART, cfg), np.load(_GATE_GOLD)
+    g = np.load(_GATE_GOLD)
+    return load_quantized(_GATE_ART, mga.config_for_golden(g)), g
 
 
 @pytest.mark.skipif(not os.path.exists(_GATE_ART),

@@ -1,21 +1,40 @@
 #!/usr/bin/env python3
 """Build the committed int8 accuracy-gate artifact for bench.py.
 
-Trains a small resnet18 pose net on the deterministic synthetic URSO
-set, quantizes it (PTQ, calibrated on training images), and writes:
+Two modes:
+
+  default (tiny, self-training): trains a small resnet18 pose net on
+  the deterministic synthetic URSO set, quantizes it (plain PTQ), and
+  writes the artifact — CPU-runnable from nothing.
+
+  --from_checkpoint CKPT: builds the artifact FROM a trained flagship
+  checkpoint at the exact shape and serving path bench.py times
+  (resnet50 / bottleneck 128 / 24^3 ori classification / 512x640
+  pad64, --width_mult for the pruned serving variants), with the
+  production classification PTQ combo baked in: SmoothQuant 0.5 +
+  1-pass bias correction (PERF.md). Calibration images come from the
+  synthetic URSO dataset the checkpoint was trained on (--data_dir).
+  Float-site kernels store as f16 (see quant_store.save_quantized).
+
+Writes:
   tests/data/gate_int8.msgpack   int8 serving artifact (quant_store)
   tests/data/gate_golden.npz     deterministic input + float-twin and
-                                 int8 outputs at export time
+                                 int8 outputs at export time, plus the
+                                 config kind needed to rebuild it
+                                 (config_for_golden)
 bench.py gates every run on the artifact: int8 output must track the
 float twin (rel < quant.TRAINED_GATE_REL = 0.08; the 3-dim loc output
-rel-amplifies PTQ noise on this tiny net — the flagship trained models
-sit at ~0.5%) and stay within rel quant.TRAINED_GATE_DRIFT = 0.005 of
-the export-time int8 golden (enforced only on the export backend,
-which is recorded in the npz).
-A deliberately corrupted weight scale fails the gate
-(tests/test_quant.py::test_gate_artifact_*).
+rel-amplifies PTQ noise on a tiny net — flagship trained models sit at
+~0.5%) and stay within rel quant.TRAINED_GATE_DRIFT = 0.005 of the
+export-time int8 golden (enforced only on the export backend, which is
+recorded in the npz). A deliberately corrupted weight scale fails the
+gate (tests/test_quant.py::test_gate_artifact_*).
 
-Usage: python tools/make_gate_artifact.py [--steps 400]
+Usage:
+  python tools/make_gate_artifact.py [--steps 400]
+  python tools/make_gate_artifact.py --from_checkpoint \
+      /tmp/flagship512_logs/<run>/weights_*.msgpack \
+      [--width_mult 0.5] [--data_dir /tmp/cls24_ds]
 """
 
 from __future__ import annotations
@@ -50,6 +69,81 @@ def gate_config():
     config.MESH_DATA = 1
     config.MESH_MODEL = 1
     return config
+
+
+def flagship_gate_config(width_mult: float = 1.0):
+    """The EXACT config bench.py times (flagship int8 serving path):
+    resnet50, bottleneck 128, branch 1024, loc regression + 24^3 ori
+    soft-classification, pad64 512x640, bf16 compute."""
+    from ursonet_tpu.config import Config
+    config = Config()
+    config.NAME = 'flagship_gate'
+    config.BACKBONE = 'resnet50'
+    config.BOTTLENECK_WIDTH = 128
+    config.BRANCH_SIZE = 1024
+    config.NR_DENSE_LAYERS = 1
+    config.REGRESS_LOC = True
+    config.REGRESS_ORI = False
+    config.ORI_BINS_PER_DIM = 24
+    config.IMAGE_RESIZE_MODE = 'pad64'
+    config.IMAGE_MIN_DIM = 512
+    config.IMAGE_MAX_DIM = 640
+    config.IMAGES_PER_GPU = 8
+    config.MESH_DATA = 1
+    config.MESH_MODEL = 1
+    config.INNER_WIDTH_MULT = width_mult
+    config.F16 = True
+    return config
+
+
+def config_for_golden(golden):
+    """Rebuild the Config that matches a gate_golden.npz — the single
+    source of truth for bench.py and tests/test_quant.py."""
+    kind = str(golden['config_kind']) if 'config_kind' in golden else 'tiny'
+    if kind == 'flagship':
+        config = flagship_gate_config(float(golden['width_mult']))
+    else:
+        config = gate_config()
+    config.update()
+    return config
+
+
+def build_from_checkpoint(ckpt_path, width_mult, data_dir, calib_images):
+    """Quantize a trained flagship checkpoint on the production serving
+    path with the classification PTQ combo (smooth 0.5 + bias_correct 1)
+    baked in; returns (qmodel, golden_in, out_f, out_q)."""
+    import jax.numpy as jnp
+
+    from ursonet_tpu.data.urso import Urso
+    from ursonet_tpu.engine import UrsoNet
+
+    config = flagship_gate_config(width_mult)
+    config.update()
+    engine = UrsoNet(mode='inference', config=config, model_dir='/tmp')
+    engine.load_weights(ckpt_path)
+
+    ds = Urso()
+    ds.load_dataset(data_dir, config, 'train')
+    ids = list(ds.image_ids)[:calib_images]
+    images = [ds.load_image(i) for i in ids]
+    qm = engine.quantize(images)  # calibrate on in-distribution images
+    molded, _, _ = engine.mold_inputs(images[:config.BATCH_SIZE])
+    report = qm.smooth(0.5)
+    print(f'smooth: {len(report)} groups, worst spread '
+          f'{max(report.values()) if report else 1.0:.1f}x', flush=True)
+    qm.bias_correct(engine._host_s2d_maybe(molded), passes=1)
+    print('bias_correct: 1 pass', flush=True)
+
+    golden_in = np.asarray(molded[:2], np.float32)
+    out_f = {k: np.asarray(v, np.float32)
+             for k, v in qm.float_twin(jnp.asarray(golden_in)).items()}
+    out_q = {k: np.asarray(v, np.float32)
+             for k, v in qm(jnp.asarray(golden_in)).items()}
+    for k in out_f:
+        rel = (np.linalg.norm(out_q[k] - out_f[k])
+               / max(np.linalg.norm(out_f[k]), 1e-9))
+        print('flagship gate rel', k, round(float(rel), 5), flush=True)
+    return qm, golden_in, out_f, out_q
 
 
 def build_once(config, steps, seed):
@@ -114,12 +208,50 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=800)
     ap.add_argument('--attempts', type=int, default=3)
+    ap.add_argument('--from_checkpoint', default=None, metavar='CKPT',
+                    help='build from a trained flagship checkpoint at '
+                         'the bench shape instead of self-training the '
+                         'tiny net')
+    ap.add_argument('--width_mult', type=float, default=1.0,
+                    help='with --from_checkpoint: INNER_WIDTH_MULT of '
+                         'the (pruned) checkpoint')
+    ap.add_argument('--data_dir', default='/tmp/cls24_ds/soyuz_synth',
+                    help='with --from_checkpoint: synthetic URSO dir '
+                         'for calibration images')
+    ap.add_argument('--calib_images', type=int, default=32)
     ap.add_argument('--out', default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         'tests', 'data'))
     args = ap.parse_args()
 
+    import jax
+
     from ursonet_tpu.checkpoint.quant_store import save_quantized
+    from ursonet_tpu.models.quant import TRAINED_GATE_REL
+
+    if args.from_checkpoint:
+        qm, golden_in, out_f, out_q = build_from_checkpoint(
+            args.from_checkpoint, args.width_mult, args.data_dir,
+            args.calib_images)
+        worst = max(
+            np.linalg.norm(out_q[k] - out_f[k])
+            / max(np.linalg.norm(out_f[k]), 1e-9) for k in out_f)
+        assert worst < TRAINED_GATE_REL - 0.01, \
+            f'flagship artifact quantizes poorly: {worst}'
+        os.makedirs(args.out, exist_ok=True)
+        save_quantized(os.path.join(args.out, 'gate_int8.msgpack'), qm,
+                       float_dtype=np.float16)
+        np.savez_compressed(
+            os.path.join(args.out, 'gate_golden.npz'),
+            golden_in=golden_in,
+            backend=np.asarray(jax.default_backend()),
+            config_kind=np.asarray('flagship'),
+            width_mult=np.asarray(args.width_mult, np.float32),
+            **{f'f_{k}': v for k, v in out_f.items()},
+            **{f'q_{k}': v for k, v in out_q.items()})
+        print('wrote flagship gate artifact to', args.out,
+              'worst_rel', round(float(worst), 5), flush=True)
+        return
 
     config = gate_config()
     config.update()

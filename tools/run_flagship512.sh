@@ -33,6 +33,7 @@ fi
 python pose_estimator.py train \
   --dataset soyuz_synth --data_dir "$DS" --weights "$WEIGHTS" \
   --backbone resnet50 --classify_ori --ori_resolution 24 \
+  --bottleneck 128 \
   --image_scale 0.5 --batch_size 32 --learn_rate 0.008 \
   --rot_aug --rot_image_aug --epochs "$EPOCHS" --steps_per_epoch 1000 \
   --set DATA_ON_DEVICE_MAX_MB=1200 \

@@ -19,7 +19,7 @@ PLOGS=/tmp/pruned512_logs
 
 EVAL_BASE="python pose_estimator.py evaluate --dataset soyuz_synth \
   --data_dir $DS --backbone resnet50 --classify_ori --ori_resolution 24 \
-  --image_scale 0.5 --eval_batch 32"
+  --bottleneck 128 --image_scale 0.5 --eval_batch 32"
 
 if [ "$2" != "resume" ]; then
   echo "=== full flagship: float ==="
@@ -40,6 +40,7 @@ echo "=== fine-tuning the pruned model ($FT_EPOCHS epochs) ==="
 python pose_estimator.py train \
   --dataset soyuz_synth --data_dir "$DS" --weights "$WEIGHTS" \
   --backbone resnet50 --classify_ori --ori_resolution 24 \
+  --bottleneck 128 \
   --image_scale 0.5 --batch_size 32 --learn_rate 0.002 \
   --rot_aug --rot_image_aug --epochs "$FT_EPOCHS" --steps_per_epoch 1000 \
   --set DATA_ON_DEVICE_MAX_MB=1200 --set INNER_WIDTH_MULT=0.5 \

@@ -26,8 +26,13 @@ from flax import serialization
 from ursonet_tpu.checkpoint.store import _atomic_write
 
 
-def save_quantized(path: str, qmodel) -> None:
-    """Write a calibrated QuantizedModel to `path` (msgpack, atomic)."""
+def save_quantized(path: str, qmodel, float_dtype=np.float32) -> None:
+    """Write a calibrated QuantizedModel to `path` (msgpack, atomic).
+
+    float_dtype: storage dtype for the FLOAT sites' kernels (the final
+    head denses). np.float16 halves flagship-scale artifacts; the loader
+    upcasts to f32, and under F16 serving the compute dtype (bf16) is
+    coarser than the f16 storage rounding anyway."""
     from ursonet_tpu.models.quant import float_sites, quantize_weight
     if qmodel.act_scales is None:
         raise ValueError('calibrate() the model before saving')
@@ -37,7 +42,7 @@ def save_quantized(path: str, qmodel) -> None:
         w = np.asarray(w, np.float32)
         b = np.asarray(b, np.float32)
         if site in fsites:
-            flat_out[site] = {'kernel': w, 'bias': b}
+            flat_out[site] = {'kernel': w.astype(float_dtype), 'bias': b}
         else:  # the exact scheme Int8Ops applies at serving time
             w8, sw = quantize_weight(w)
             flat_out[site] = {'kernel_q': w8, 'scale': sw, 'bias': b}
