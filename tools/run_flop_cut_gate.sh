@@ -58,7 +58,10 @@ python pose_estimator.py train \
 echo "=== pruned w$WIDTH: float ==="
 $EVAL_BASE --weights last --logs "$PLOGS" --out_dir "$PLOGS" \
   --set INNER_WIDTH_MULT=$WIDTH
-echo "=== pruned w$WIDTH: int8 (production combo) ==="
-$EVAL_BASE --weights last --logs "$PLOGS" --out_dir "$PLOGS" \
-  --set INNER_WIDTH_MULT=$WIDTH --int8
+echo "=== pruned w$WIDTH: int8 plain ==="
+$EVAL_BASE --weights last --logs "$PLOGS" --out_dir "$PLOGS/int8_plain" \
+  --set INNER_WIDTH_MULT=$WIDTH --int8 --smooth_quant -1 --bias_correct 0
+echo "=== pruned w$WIDTH: int8 (smooth+bias_correct combo) ==="
+$EVAL_BASE --weights last --logs "$PLOGS" --out_dir "$PLOGS/int8_combo" \
+  --set INNER_WIDTH_MULT=$WIDTH --int8 --smooth_quant 0.5 --bias_correct 1
 echo "GATE PIPELINE DONE (width $WIDTH)"
