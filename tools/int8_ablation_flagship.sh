@@ -25,10 +25,15 @@ run() {  # name, extra args...
     | grep -E "ESA score|int8:" || true
 }
 
-run plain        --smooth_quant -1 --bias_correct 0
-run smooth_only  --smooth_quant 0.5 --bias_correct 0
-run bias_only    --smooth_quant -1 --bias_correct 1
-run combo        --smooth_quant 0.5 --bias_correct 1
-run calib96      --smooth_quant -1 --bias_correct 0 --calib_batches 3
+# CPU weight-side diagnosis (PERF.md round 5): smooth(0.5) inflates the
+# ori_final weight-quant error 3.0x (0.0063->0.0190) — the decode-
+# critical logits — via the 150x-spread ori_dense_0/out migration
+# group, so smooth is expected to be the damaging half at this shape;
+# float_finals tests whether final-dense quantization alone explains
+# the plain-PTQ delta.
+run plain         --smooth_quant -1 --bias_correct 0
+run bias_only     --smooth_quant -1 --bias_correct 1
+run combo         --smooth_quant 0.5 --bias_correct 1
+run plain_ffinals --smooth_quant -1 --bias_correct 0 --int8_float_finals
 echo "ABLATION DONE"
 grep -H "ESA score" "$OUT"/*.log
