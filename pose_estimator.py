@@ -125,6 +125,14 @@ def build_parser() -> argparse.ArgumentParser:
                         'ON by default (0.5) when a classification '
                         'head is served — the measured parity combo, '
                         'PERF.md — pass a negative ALPHA to disable')
+    p.add_argument('--smooth_max_spread', default=None, type=float,
+                   metavar='RATIO',
+                   help='with --smooth_quant: cap each migration '
+                        "group's channel spread (max/min of the "
+                        'migration vector) by clipping around its '
+                        'geometric mean — protects per-output-channel '
+                        'weight quantization from extreme migrated '
+                        'outliers (models/quant.py smooth)')
     p.add_argument('--bias_correct', nargs='?', const=1, default=None,
                    type=int, metavar='PASSES',
                    help='with --int8: subtract per-channel quantization '
@@ -362,10 +370,12 @@ def apply_ptq_refinements(engine, args, config, molded_fn):
         alpha = 0.5 if alpha is None else alpha
         passes = 1 if passes is None else passes
     if alpha is not None and alpha >= 0:
-        report = engine._qmodel.smooth(alpha)
+        cap = getattr(args, 'smooth_max_spread', None)
+        report = engine._qmodel.smooth(alpha, max_spread=cap)
         worst = max(report.values()) if report else 1.0
         print(f"int8: SmoothQuant migration applied (alpha={alpha}, "
-              f"{len(report)} groups, worst channel spread {worst:.1f}x)")
+              f"cap={cap}, {len(report)} groups, worst channel spread "
+              f"{worst:.1f}x)")
     passes = passes or 0
     if passes:
         engine._qmodel.bias_correct(molded_fn(), passes=passes)

@@ -615,6 +615,28 @@ def test_smooth_fixes_channel_outliers():
         f'smooth did not help: {err_sm:.4f} vs {err_base:.4f}'
 
 
+def test_smooth_max_spread_caps_migration():
+    """smooth(alpha, max_spread=S) clips each group's migration vector to
+    spread <= S around its geometric mean, stays float-exact, and still
+    finds the outlier group."""
+    config, model, variables, imgs = _make('resnet50')
+    params = jax.tree_util.tree_map(
+        lambda v: np.array(v, copy=True), variables['params'])
+    k = params['backbone']['conv1']['kernel']
+    k[..., :4] = k[..., :4] * 40.0  # force a big spread group
+
+    qm = QuantizedModel.from_variables(
+        config, params, variables['batch_stats'])
+    ref = {k2: np.asarray(v) for k2, v in qm.float_twin(imgs).items()}
+    qm.calibrate(imgs)
+    report = qm.smooth(0.5, max_spread=4.0)
+    assert report, 'smooth() applied no groups'
+    assert max(report.values()) <= 4.0 + 1e-3, report
+    out = {k2: np.asarray(v) for k2, v in qm.float_twin(imgs).items()}
+    for k2 in ref:
+        np.testing.assert_allclose(out[k2], ref[k2], rtol=5e-4, atol=5e-4)
+
+
 def test_bias_correct_converges_and_only_touches_int8():
     config, model, variables, imgs = _make('resnet18')
     qm = QuantizedModel.from_variables(

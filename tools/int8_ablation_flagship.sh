@@ -35,5 +35,6 @@ run plain         --smooth_quant -1 --bias_correct 0
 run bias_only     --smooth_quant -1 --bias_correct 1
 run combo         --smooth_quant 0.5 --bias_correct 1
 run plain_ffinals --smooth_quant -1 --bias_correct 0 --int8_float_finals
+run combo_cap16   --smooth_quant 0.5 --smooth_max_spread 16 --bias_correct 1
 echo "ABLATION DONE"
 grep -H "ESA score" "$OUT"/*.log

@@ -840,7 +840,7 @@ class QuantizedModel:
         self._fn = None
         return self.act_scales
 
-    def smooth(self, alpha: float = 0.5):
+    def smooth(self, alpha: float = 0.5, max_spread: float = None):
         """SmoothQuant-style scale migration (zero serving cost).
 
         Per-channel activation outliers are what per-tensor int8
@@ -859,7 +859,17 @@ class QuantizedModel:
         Requires calibrate() first (uses the recorded per-channel act
         maxima); updates the per-tensor act scales analytically (no
         recalibration pass needed). Returns {group: channel-spread} of
-        the applied migration vectors for logging."""
+        the applied migration vectors for logging.
+
+        max_spread: optional cap on each group's migration-vector spread
+        (max m / min m), applied by clipping m symmetrically (in log
+        space) around its geometric mean. Uncapped migration on the
+        flagship produced 150-165x spreads that inflate consumer weight
+        columns past what per-OUTPUT-channel weight quantization can
+        absorb (3.0x weight-quant error on the decode-critical ori_final
+        — PERF.md round 5); the cap keeps the outlier-flattening benefit
+        where it is affordable. Exactness in float is preserved for ANY
+        m, so the float twin is unchanged either way."""
         if self.chan_max is None:
             raise RuntimeError('calibrate() before smooth()')
         flat = {s: (np.array(w, np.float32, copy=True),
@@ -892,6 +902,10 @@ class QuantizedModel:
                          1.0)
             m = np.where(np.isfinite(m), np.clip(m, 1e-4, 1e4), 1.0) \
                 .astype(np.float32)
+            if max_spread is not None and m.max() > 0:
+                gm = np.exp(np.mean(np.log(np.maximum(m, 1e-12))))
+                lim = float(np.sqrt(max_spread))
+                m = np.clip(m, gm / lim, gm * lim).astype(np.float32)
             for p in g['producers']:
                 k, b = flat[p]
                 flat[p] = (k / m, b / m)  # output axis is last everywhere
