@@ -133,4 +133,6 @@ _CONFIG_KEYS: Dict[str, str] = {
     # calibrated as float sites; loading with a mismatched config
     # would leave their requant scales missing (or stale)
     'float_cls_final': 'QUANT_FLOAT_CLS_FINAL',
+    # same for the float metric-regression heads (round 5)
+    'float_reg_head': 'QUANT_FLOAT_REG_HEAD',
 }

@@ -167,6 +167,14 @@ class Config:
     # quantization, not the wide final logits (PERF.md round 3). Kept
     # as the ablation that proves it. Off by default.
     QUANT_FLOAT_CLS_FINAL = False
+    # Run METRIC-REGRESSION heads (hidden dense + final) fully in float
+    # inside the int8 serving path. A 3-dim metric output has zero
+    # redundancy against int8 activation noise: on the trained flagship
+    # the quantized loc head multiplied location error 3.7-38x while the
+    # 24³ softmax-moment decode absorbed the same backbone noise
+    # (PERF.md round-5 ablation). ~0.04% of flagship FLOPs; on by
+    # default.
+    QUANT_FLOAT_REG_HEAD = True
 
     # Rematerialize residual blocks in the backward pass (jax.checkpoint):
     # trades FLOPs for activation HBM at high resolution. Values:

@@ -411,22 +411,32 @@ class Int8Ops:
 
 
 def float_sites(mcfg) -> set:
-    """Sites that run in FLOAT at serving time (the regression /
-    quaternion / keypoint finals — see twin_forward's head(); the
-    classification finals are int8 by default, or float under the
-    QUANT_FLOAT_CLS_FINAL ablation knob)."""
+    """Sites that run in FLOAT at serving time: the regression /
+    quaternion / keypoint finals, plus — under float_reg_head (default
+    ON) — the hidden denses of metric-regression heads (see twin_forward
+    head(); PERF.md round-5 flagship ablation). The classification
+    finals are int8 by default, or float under the QUANT_FLOAT_CLS_FINAL
+    ablation knob."""
+    frh = mcfg.get('float_reg_head', True)
+
+    def hidden(prefix):
+        return {f'{prefix}_head/{prefix}_dense_{i}'
+                for i in range(mcfg['nr_dense_layers'])} if frh else set()
+
     if mcfg['regress_keypoints']:
         return {'loc_head/k1_final', 'loc_head/k2_final',
-                'loc_head/k3_final'}
+                'loc_head/k3_final'} | hidden('loc')
     sites = set()
     if mcfg['regress_loc']:
         sites.add('loc_head/loc_final')
+        sites |= hidden('loc')
     elif mcfg.get('float_cls_final'):
         sites.add('loc_head/loc_final')
     if mcfg['regress_ori']:
         sites.add('ori_head/ori_q'
                   if mcfg['orientation_param'] == 'quaternion'
                   else 'ori_head/ori_final')
+        sites |= hidden('ori')
     elif mcfg.get('float_cls_final'):
         sites.add('ori_head/ori_final')
     return sites
@@ -640,14 +650,19 @@ def twin_forward(ops, images, mcfg: dict) -> Dict[str, jnp.ndarray]:
     y = ops.conv(y, 'bottleneck_layer', 2, 'SAME')
     feats = ops.flatten(y, 'bottleneck/out')
 
-    def dense_stack(prefix, quant_last):
-        """Hidden dense stack. The LAST hidden relu requantizes only when
-        the final dense runs int8 (quant_last); regression finals are
-        float (Int8Ops.dense_final) and take the float relu output."""
+    def dense_stack(prefix, quant_last, float_hidden=False):
+        """Hidden dense stack. float_hidden runs the whole stack in
+        float (metric-regression heads, float_reg_head — PERF.md round
+        5). Otherwise the LAST hidden relu requantizes only when the
+        final dense runs int8 (quant_last); regression finals are float
+        (Int8Ops.dense_final) and take the float relu output."""
         h = feats
         n = mcfg['nr_dense_layers']
         for i in range(n):
             site = f'{prefix}_head/{prefix}_dense_{i}'
+            if float_hidden:
+                h = ops.relu(ops.dense_final(h, site))
+                continue
             h = ops.dense(h, site)
             keep_q = quant_last or i < n - 1
             h = ops.relu(h, site + '/out' if keep_q else None)
@@ -660,10 +675,15 @@ def twin_forward(ops, images, mcfg: dict) -> Dict[str, jnp.ndarray]:
         # QUANT_FLOAT_CLS_FINAL they run float like the regression
         # finals. Measured accuracy-neutral on the trained 24³
         # checkpoint — the ablation localizing the classification int8
-        # delta to backbone activations (PERF.md round 3).
+        # delta to backbone activations (PERF.md round 3). Metric-
+        # regression heads (linear/l2norm finals) run FULLY float under
+        # float_reg_head: a 3-dim metric output has no redundancy
+        # against activation-quant noise (PERF.md round-5 ablation).
         quant_final = (final_act == 'relu'
                        and not mcfg.get('float_cls_final'))
-        h = dense_stack(prefix, quant_final)
+        float_head = (final_act != 'relu'
+                      and mcfg.get('float_reg_head', True))
+        h = dense_stack(prefix, quant_final, float_hidden=float_head)
         site = f'{prefix}_head/{final_site}'
         h = ops.dense(h, site) if quant_final else ops.dense_final(h, site)
         if final_act == 'relu':
@@ -674,7 +694,8 @@ def twin_forward(ops, images, mcfg: dict) -> Dict[str, jnp.ndarray]:
 
     out: Dict[str, jnp.ndarray] = {}
     if mcfg['regress_keypoints']:
-        h = dense_stack('loc', quant_last=False)
+        h = dense_stack('loc', quant_last=False,
+                        float_hidden=mcfg.get('float_reg_head', True))
         out['loc'] = ops.dense_final(h, 'loc_head/k1_final')
         out['k1'] = ops.dense_final(h, 'loc_head/k2_final')
         out['k2'] = ops.dense_final(h, 'loc_head/k3_final')
@@ -750,6 +771,14 @@ class QuantizedModel:
             # float classification finals (decode-critical logits)
             float_cls_final=bool(getattr(config, 'QUANT_FLOAT_CLS_FINAL',
                                          False)),
+            # float METRIC-REGRESSION heads (hidden dense + final): a
+            # 3-dim metric output has zero redundancy against int8
+            # activation noise — on the trained flagship, quantizing the
+            # loc head multiplied its location error 3.7-38x while the
+            # 24^3 softmax-moment decode shrugged the same noise off
+            # (PERF.md round-5 ablation). ~0.04% of flagship FLOPs.
+            float_reg_head=bool(getattr(config, 'QUANT_FLOAT_REG_HEAD',
+                                        True)),
             mean_pixel=tuple(float(v) for v in config.MEAN_PIXEL),
         )
         self.act_scales: Optional[Dict[str, float]] = None
