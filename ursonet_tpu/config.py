@@ -168,13 +168,14 @@ class Config:
     # as the ablation that proves it. Off by default.
     QUANT_FLOAT_CLS_FINAL = False
     # Run METRIC-REGRESSION heads (hidden dense + final) fully in float
-    # inside the int8 serving path. A 3-dim metric output has zero
-    # redundancy against int8 activation noise: on the trained flagship
-    # the quantized loc head multiplied location error 3.7-38x while the
-    # 24³ softmax-moment decode absorbed the same backbone noise
-    # (PERF.md round-5 ablation). ~0.04% of flagship FLOPs; on by
-    # default.
-    QUANT_FLOAT_REG_HEAD = True
+    # inside the int8 serving path. Measured NEGATIVE on the trained
+    # flagship (PERF.md round-5 ablation): the loc degradation is
+    # backbone-activation drift, and the int8 dense head + bias_correct
+    # acts as a learned linear recalibration that absorbs it (loc err
+    # 1.19 m vs 7.81 m with a float head that gets no correction; float
+    # reference 0.32 m). Kept as the ablation knob that proves the
+    # localization; off by default.
+    QUANT_FLOAT_REG_HEAD = False
 
     # Rematerialize residual blocks in the backward pass (jax.checkpoint):
     # trades FLOPs for activation HBM at high resolution. Values:

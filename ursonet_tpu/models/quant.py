@@ -417,7 +417,7 @@ def float_sites(mcfg) -> set:
     head(); PERF.md round-5 flagship ablation). The classification
     finals are int8 by default, or float under the QUANT_FLOAT_CLS_FINAL
     ablation knob."""
-    frh = mcfg.get('float_reg_head', True)
+    frh = mcfg.get('float_reg_head', False)
 
     def hidden(prefix):
         return {f'{prefix}_head/{prefix}_dense_{i}'
@@ -682,7 +682,7 @@ def twin_forward(ops, images, mcfg: dict) -> Dict[str, jnp.ndarray]:
         quant_final = (final_act == 'relu'
                        and not mcfg.get('float_cls_final'))
         float_head = (final_act != 'relu'
-                      and mcfg.get('float_reg_head', True))
+                      and mcfg.get('float_reg_head', False))
         h = dense_stack(prefix, quant_final, float_hidden=float_head)
         site = f'{prefix}_head/{final_site}'
         h = ops.dense(h, site) if quant_final else ops.dense_final(h, site)
@@ -695,7 +695,7 @@ def twin_forward(ops, images, mcfg: dict) -> Dict[str, jnp.ndarray]:
     out: Dict[str, jnp.ndarray] = {}
     if mcfg['regress_keypoints']:
         h = dense_stack('loc', quant_last=False,
-                        float_hidden=mcfg.get('float_reg_head', True))
+                        float_hidden=mcfg.get('float_reg_head', False))
         out['loc'] = ops.dense_final(h, 'loc_head/k1_final')
         out['k1'] = ops.dense_final(h, 'loc_head/k2_final')
         out['k2'] = ops.dense_final(h, 'loc_head/k3_final')
@@ -771,14 +771,13 @@ class QuantizedModel:
             # float classification finals (decode-critical logits)
             float_cls_final=bool(getattr(config, 'QUANT_FLOAT_CLS_FINAL',
                                          False)),
-            # float METRIC-REGRESSION heads (hidden dense + final): a
-            # 3-dim metric output has zero redundancy against int8
-            # activation noise — on the trained flagship, quantizing the
-            # loc head multiplied its location error 3.7-38x while the
-            # 24^3 softmax-moment decode shrugged the same noise off
-            # (PERF.md round-5 ablation). ~0.04% of flagship FLOPs.
+            # float METRIC-REGRESSION heads (hidden dense + final):
+            # measured-negative ablation knob — the int8 dense head +
+            # bias_correct acts as a learned linear recalibration that
+            # absorbs backbone activation drift, which a float head
+            # forfeits (PERF.md round-5 ablation). Default off.
             float_reg_head=bool(getattr(config, 'QUANT_FLOAT_REG_HEAD',
-                                        True)),
+                                        False)),
             mean_pixel=tuple(float(v) for v in config.MEAN_PIXEL),
         )
         self.act_scales: Optional[Dict[str, float]] = None
