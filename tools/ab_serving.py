@@ -45,6 +45,7 @@ def build_variant(name, batch, h, w):
     config.IMAGE_MIN_DIM = h
     config.IMAGE_MAX_DIM = w
     config.F16 = True
+    bf16 = False
     # composable variant spec: '+'-separated tokens, e.g. 'w05+s8join'
     for tok in name.split('+'):
         if tok in ('base', ''):
@@ -58,10 +59,15 @@ def build_variant(name, batch, h, w):
             config.QUANT_STEM_S2D = True
         elif tok == 's8join':
             config.QUANT_S8_JOIN = True
+        elif tok == 'bf16':  # plain Flax bf16 serving (bench BENCH_QUANT=0)
+            bf16 = True
         elif tok.startswith('w'):      # wNN -> INNER_WIDTH_MULT 0.NN
             config.INNER_WIDTH_MULT = float('0.' + tok[1:])
         else:
             raise SystemExit(f'unknown variant token {tok!r}')
+    if bf16 and ('host_s2d' in name or 'bf16_stem' in name
+                 or 's8join' in name or 's2d' in name):
+        raise SystemExit('bf16 composes only with wNN tokens')
     config.update()
 
     model = build_model(config)
@@ -71,6 +77,25 @@ def build_variant(name, batch, h, w):
     variables = nn.unbox(
         jax.jit(lambda r: model.init(r, init_images, training=False))(
             jax.random.PRNGKey(0)))
+
+    if bf16:
+        images = jax.jit(
+            lambda k: jax.random.uniform(k, (batch, h, w, 3), jnp.float32,
+                                         -120.0, 135.0)
+        )(jax.random.PRNGKey(0))
+        params = jax.device_put(variables['params'])
+        stats = jax.device_put(variables['batch_stats'])
+        jit_apply = jax.jit(
+            lambda p, bs, x: model.apply({'params': p, 'batch_stats': bs},
+                                         x, training=False))
+
+        def forward(x):
+            return jit_apply(params, stats, x)
+        out = forward(images[:8])
+        for k, v in out.items():
+            assert bool(jnp.isfinite(v).all()), (name, k)
+        return forward, images
+
     qm = QuantizedModel.from_variables(
         config, variables['params'], variables['batch_stats'])
 
